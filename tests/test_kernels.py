@@ -1,0 +1,173 @@
+"""Unit tests for the pure extraction kernels (no Ray)."""
+
+import pytest
+
+from ocr_processor_ray.extract.core import extract_turn
+from ocr_processor_ray.extract.errors import ParseError
+from ocr_processor_ray.extract.html_extract import extract_html_blocks
+from ocr_processor_ray.extract.normalize import normalize_inline, normalize_text
+from ocr_processor_ray.extract.pdfstream import parse_pdfstream
+from ocr_processor_ray.extract.sniff import sniff_kind
+from ocr_processor_ray.extract.toolmark import parse_toolmark
+
+
+class TestNormalize:
+    def test_crlf_and_tabs(self):
+        assert normalize_text("a\tb\r\nc  d\r") == "a b\nc d"
+
+    def test_zero_width_and_nbsp(self):
+        assert normalize_inline("a​b c﻿") == "ab c"
+
+    def test_nfc(self):
+        # e + combining acute → é (NFC)
+        assert normalize_inline("é") == "é"
+
+    def test_blank_line_collapse(self):
+        assert normalize_text("a\n\n\n\nb\n\n") == "a\n\nb"
+
+    def test_idempotent(self):
+        s = "x  y\r\n\r\n\tz é"
+        assert normalize_text(normalize_text(s)) == normalize_text(s)
+        assert normalize_inline(normalize_inline(s)) == normalize_inline(s)
+
+
+class TestSniff:
+    @pytest.mark.parametrize(
+        "text,kind",
+        [
+            ("%PDF-SIM 1.4\nR 1 1 1 x", "pdfstream"),
+            ('  <tool name="t"><w p="1" b="1 2 3 4">x</w></tool>', "toolmark"),
+            ("<div><p>hello</p></div>", "html"),
+            ("  \n <p>indented markup</p>", "html"),
+            ("just text", "plain"),
+            ("", "plain"),
+        ],
+    )
+    def test_kinds(self, text, kind):
+        assert sniff_kind(text) == kind
+
+
+class TestHtml:
+    def test_boilerplate_dropped(self):
+        html = (
+            "<div><nav><a href='/'>Home</a></nav>"
+            "<main><p>Real content here.</p></main>"
+            "<footer>footer junk</footer><script>var x;</script></div>"
+        )
+        blocks = extract_html_blocks(html)
+        assert blocks == [("p", "Real content here.")]
+
+    def test_link_density_filter(self):
+        html = (
+            "<div><p><a href='/x'>all link text</a></p>"
+            "<p>mostly plain text with <a href='/y'>one</a> link in it</p></div>"
+        )
+        blocks = extract_html_blocks(html)
+        assert len(blocks) == 1
+        assert blocks[0][0] == "p"
+        assert "mostly plain" in blocks[0][1]
+
+    def test_main_scope_excludes_outside_paras(self):
+        html = "<div><p>outside</p><article><p>inside</p></article></div>"
+        assert extract_html_blocks(html) == [("p", "inside")]
+
+    def test_class_token_drop(self):
+        html = '<div><div class="ad-banner"><p>buy now</p></div><p>keep</p></div>'
+        assert extract_html_blocks(html) == [("p", "keep")]
+
+    def test_no_blocks_falls_back_to_text(self):
+        assert extract_html_blocks("<span>bare inline</span>") == [("text", "bare inline")]
+
+    def test_misnested_tags_tolerated(self):
+        html = "<div><p>one<b>two</p></div><p>three</p>"
+        texts = [t for _, t in extract_html_blocks(html)]
+        assert any("one" in t for t in texts)
+
+
+class TestPdfstream:
+    def test_reading_order(self):
+        payload = (
+            "%PDF-SIM 1.7\n"
+            "R 1 20 100 world\n"
+            "R 1 20 10 hello\n"
+            "R 1 10 10 title\n"
+            "R 2 10 10 page2\n"
+            "%%EOF"
+        )
+        assert parse_pdfstream(payload) == [["title", "hello world"], ["page2"]]
+
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            "%PDF-SIMx\nR 1 1 1 v",          # bad version
+            "%PDF-SIM 1.4\nR 1 a 1 v",       # non-int coord
+            "%PDF-SIM 1.4\nR 1 1\n",         # truncated record
+            "%PDF-SIM 1.4\nQ 1 1 1 v",       # unknown record
+        ],
+    )
+    def test_corrupt_raises(self, payload):
+        with pytest.raises(ParseError):
+            parse_pdfstream(payload)
+
+
+class TestToolmark:
+    def test_order_and_grouping(self):
+        payload = (
+            '<tool name="t">'
+            '<w p="1" b="50 10 60 20">world</w>'
+            '<w p="1" b="10 10 20 20">hello</w>'
+            '<w p="2" b="10 10 20 20">next</w>'
+            "</tool>"
+        )
+        assert parse_toolmark(payload) == [[["hello", "world"]], [["next"]]]
+
+    def test_malformed_raises(self):
+        with pytest.raises(ParseError):
+            parse_toolmark('<tool name="t"><w p="1" b="1 2 3">three</w></tool>')
+        with pytest.raises(ParseError):
+            parse_toolmark('<tool name="t"><w p="1" b="1 2 3 4">trunc')
+
+
+class TestExtractTurn:
+    def test_plain_skip_passthrough_unchanged(self):
+        raw = "already  clean\r\nwith CRLF"
+        r = extract_turn(raw, mode="cli")
+        assert r["status"] == "skipped"
+        assert r["clean_text"] == raw  # byte-identical passthrough
+        assert r["spans"] == []
+
+    def test_plain_force_normalizes(self):
+        r = extract_turn("a  b\r\nc", mode="force")
+        assert r["status"] == "extracted"
+        assert r["clean_text"] == "a b\nc"
+        assert r["spans"] == [(0, 5, "text")]
+
+    def test_parse_failure_never_raises(self):
+        r = extract_turn("%PDF-SIM 1.4\nR x y z boom", mode="cli")
+        assert r["status"] == "parse_failure"
+        assert r["clean_text"] == ""
+        assert r["bytes_in"] > 0 and r["bytes_out"] == 0
+
+    def test_nul_byte_is_failure(self):
+        assert extract_turn("text\x00here")["status"] == "parse_failure"
+
+    def test_max_payload_gate(self):
+        assert extract_turn("x" * 100, max_payload_bytes=10)["status"] == "parse_failure"
+
+    def test_span_offsets_match_text(self):
+        payload = "%PDF-SIM 1.0\nR 1 10 10 hello\nR 1 20 10 world two\n%%EOF"
+        r = extract_turn(payload)
+        assert r["clean_text"] == "hello\nworld two"
+        for s, e, kind in r["spans"]:
+            assert r["clean_text"][s:e].strip() == r["clean_text"][s:e]
+        assert [r["clean_text"][s:e] for s, e, _ in r["spans"]] == ["hello", "world two"]
+
+    def test_visual_word_spans(self):
+        r = extract_turn("<main><p>two words</p></main>", mode="visual")
+        words = [r["clean_text"][s:e] for s, e, k in r["spans"] if k == "word"]
+        assert words == ["two", "words"]
+
+    def test_bytes_utf8(self):
+        r = extract_turn("שלום")  # plain, skipped; 4 chars, 8 utf-8 bytes
+        assert r["bytes_in"] == 8
+        assert r["bytes_out"] == 8
