@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images / audio / video are ``binary`` columns with sidecar metadata.
+The Ray-side plumbing (schema, actor signature, small batches, output
+layout) is real and tested; the actual codec work is STUBBED because the
+media libraries are not in this container:
+
+* ``DecodeImage(fake=True)`` produces deterministic fake features
+  derived from the payload bytes (so pipelines are testable end-to-end);
+* ``DecodeImage(fake=False)`` raises ``NotImplementedError`` at
+  ``__init__`` — the seam where PIL/ffmpeg would load, once per actor.
+
+Batch sizing: media payloads are MBs per row, so stages default to
+``batch_size=16`` — batch × concurrency must fit worker heaps
+(SURVEY.md §4.2 memory row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("payload", pa.binary()),
+        pa.field("mime", pa.string()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+    ]
+)
+
+DEFAULT_MEDIA_BATCH_SIZE = 16
+
+
+class DecodeImage:
+    """Actor-pool decode stage (callable class = state loaded once).
+
+    Real mode would hold the codec context from ``__init__``; fake mode
+    derives (width, height, mean_luma, phash64) deterministically from
+    the payload bytes so downstream stages and tests exercise the same
+    schema and batch plumbing.
+    """
+
+    def __init__(self, fake: bool = True, payload_col: str = "payload"):
+        if not fake:
+            raise NotImplementedError(
+                "real image decode requires PIL/libvips, not present in this "
+                "environment; construct with fake=True for the deterministic stub"
+            )
+        self.payload_col = payload_col
+
+    @staticmethod
+    def _fake_features(data: bytes) -> tuple[int, int, float, int]:
+        digest = hashlib.blake2b(data, digest_size=24).digest()
+        width = 64 + digest[0] % 192
+        height = 64 + digest[1] % 192
+        mean_luma = round(digest[2] / 255.0, 6)
+        phash = int.from_bytes(digest[8:16], "big") - (1 << 63)
+        return width, height, mean_luma, phash
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        w, h, luma, ph = [], [], [], []
+        for data in payloads:
+            fw, fh, fl, fp = self._fake_features(data or b"")
+            w.append(fw)
+            h.append(fh)
+            luma.append(fl)
+            ph.append(fp)
+        return (
+            batch.drop_columns([self.payload_col])  # decoded: drop heavy bytes
+            .append_column("dec_width", pa.array(w, pa.int32()))
+            .append_column("dec_height", pa.array(h, pa.int32()))
+            .append_column("mean_luma", pa.array(luma, pa.float64()))
+            .append_column("phash", pa.array(ph, pa.int64()))
+        )
+
+
+def decode_images(ds: Dataset, concurrency=(1, 4), batch_size: int = DEFAULT_MEDIA_BATCH_SIZE) -> Dataset:
+    return ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic fake media corpus for tests (binary payloads)."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(256 + int(rng.randint(0, 1024))) for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/fake"] * n, pa.string()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )

@@ -1,0 +1,105 @@
+"""Relational helpers: broadcast joins and bucketed big-big hash joins.
+
+The reference's processing path has no relational joins (SURVEY.md §2.4)
+— these exist to make the engine a complete query surface over Parquet
+tables, with scale-honest shapes:
+
+* ``broadcast_join`` — small side ``ray.put`` ONCE, looked up inside
+  every map task via a pandas merge. No shuffle; the small side ships
+  to each node once via the object store, not per batch.
+* ``bucketed_join`` — both sides large: add ``bucket = key % B`` to
+  each side, union with a side tag, ``groupby(bucket)`` and merge the
+  two sides pairwise inside ``map_groups`` — an explicit partitioned
+  hash join. B sizes a bucket to worker memory; salt hot keys upstream.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def broadcast_join(
+    big: Dataset,
+    small_df: pd.DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> Dataset:
+    """Join a Dataset against a small in-memory table without a shuffle."""
+    small_ref = ray.put(small_df)
+
+    class JoinSmall:
+        def __init__(self):
+            self.small = ray.get(small_ref)  # once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return big.map_batches(JoinSmall, batch_format="pandas", concurrency=(1, 8))
+
+
+def bucketed_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    num_buckets: int = 32,
+    suffix_right: str = "_r",
+) -> Dataset:
+    """Partitioned hash join of two large Datasets on an int64 key.
+
+    Exchange volume = both inputs exactly once, keyed by
+    ``key % num_buckets``.
+    """
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            keys = pc.cast(batch[on], pa.int64()).to_numpy(zero_copy_only=False)
+            bucket = (keys % num_buckets).astype(np.int32)
+            return batch.append_column("_bucket", pa.array(bucket)).append_column(
+                "_side", pa.array([side] * batch.num_rows, pa.int8())
+            )
+
+        return fn
+
+    # union requires identical schemas; map each side through pandas merge
+    # instead: group both sides by bucket via a tagged pandas concat.
+    l_tagged = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    r_tagged = right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    l_cols = [c for c in left.schema().names]
+    r_cols = [c for c in right.schema().names]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["_side"] == 0][l_cols]
+        rhs = group[group["_side"] == 1][r_cols]
+        return lhs.merge(rhs, on=on, how="inner", suffixes=("", suffix_right))
+
+    # pad schemas to a common superset so union() accepts them
+    def pad(cols_missing: list[str], types: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in cols_missing:
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, types[c]))
+            return batch
+
+        return fn
+
+    l_schema = {f.name: f.type for f in l_tagged.schema().base_schema}
+    r_schema = {f.name: f.type for f in r_tagged.schema().base_schema}
+    all_types = {**l_schema, **r_schema}
+    l_missing = [c for c in r_schema if c not in l_schema]
+    r_missing = [c for c in l_schema if c not in r_schema]
+    l_padded = l_tagged.map_batches(pad(l_missing, all_types), batch_format="pyarrow")
+    r_padded = r_tagged.map_batches(pad(r_missing, all_types), batch_format="pyarrow")
+    ordered_cols = list(all_types)
+    l_padded = l_padded.map_batches(lambda t: t.select(ordered_cols), batch_format="pyarrow")
+    r_padded = r_padded.map_batches(lambda t: t.select(ordered_cols), batch_format="pyarrow")
+
+    both = l_padded.union(r_padded)
+    return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")

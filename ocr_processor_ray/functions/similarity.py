@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``brute_force_topk`` — baseline: numpy matmul per batch against a
+  broadcast query matrix (``ray.put`` once, read per actor), partial
+  top-k per batch, final merge of ≤ batches×k tiny rows on the driver
+  side of a small aggregate. Exact.
+* ``lsh_topk`` — scale path: random-hyperplane LSH bucketing; each
+  vector lands in one bucket per table; search probes only matching
+  buckets. Approximate; recall grows with ``n_tables``.
+
+Embeddings are L2-normalized on the fly; cosine == dot product after
+that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    arr = batch[vec_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    ds: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> pa.Table:
+    """Exact cosine top-k of ``query`` (1-D) against every row.
+
+    Per-batch: one matmul + argpartition to local top-k; the driver
+    merges the per-batch candidates (≤ num_batches × k rows). The query
+    vector rides in the task closure (tiny); for a query *matrix* use
+    ``ray.put`` and look it up in ``__init__`` of a class stage.
+    """
+    q = _normalize(query.astype(np.float64).reshape(1, -1))[0]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+        sims = m @ q
+        n = min(k, len(sims))
+        idx = np.argpartition(-sims, n - 1)[:n]
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(batch[id_col])[idx], pa.int64()),
+                "sim": pa.array(sims[idx]),  # raw doubles; round only at the end
+            }
+        )
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    merged = cands.sort(["sim", id_col], descending=[True, False]).limit(k)
+    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    return t.set_column(
+        t.schema.get_field_index("sim"),
+        "sim",
+        pa.array(np.round(t["sim"].to_numpy(), round_to)),
+    )
+
+
+_HYPERPLANE_SEED = 977
+
+
+def hyperplane_signs(m: np.ndarray, dim: int, n_bits: int, table: int) -> np.ndarray:
+    rng = np.random.RandomState(_HYPERPLANE_SEED + table)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+    return ((m @ planes) > 0).astype(np.uint64)
+
+
+def lsh_topk(
+    ds: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    round_to: int = 5,
+) -> pa.Table:
+    """Approximate cosine top-k: probe only LSH-matching rows.
+
+    Adds ``n_tables`` hyperplane bucket keys per vector; a row is scored
+    only if it shares a bucket with the query in at least one table. At
+    cluster scale the bucket keys become a partition key so probes read
+    only matching partitions; here the filter happens per batch
+    (no shuffle, same pruning semantics).
+    """
+    q = _normalize(query.astype(np.float32).reshape(1, -1))
+    dim = q.shape[1]
+    q_keys = [
+        int(hyperplane_signs(q, dim, n_bits, t)[0] @ (1 << np.arange(n_bits, dtype=np.uint64)))
+        for t in range(n_tables)
+    ]
+
+    def probe(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        mask = np.zeros(len(m), dtype=bool)
+        for t in range(n_tables):
+            signs = hyperplane_signs(m, dim, n_bits, t)
+            keys = signs @ (1 << np.arange(n_bits, dtype=np.uint64))
+            mask |= keys == q_keys[t]
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        sims = m[mask] @ q[0]
+        ids = np.asarray(batch[id_col])[mask]
+        n = min(k, len(sims))
+        idx = np.argpartition(-sims, n - 1)[:n]
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx], pa.int64()),
+                "sim": pa.array(np.round(sims[idx].astype(np.float64), round_to)),
+            }
+        )
+
+    cands = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    merged = cands.sort(["sim", id_col], descending=[True, False]).limit(k)
+    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)

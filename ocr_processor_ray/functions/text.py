@@ -1,0 +1,145 @@
+"""Text-analysis stages: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All are stateless vectorized ``map_batches`` functions or cheap
+stateful classes; all are deterministic (fixed constants, no models).
+Generalizes the reference's text-side scalar functions (string scans,
+checksum identity; security_validator.py:392-415,463-472).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- tokens
+
+# BPE-ish pre-tokenization: word pieces OR single non-space symbols
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WORD_RE = r"\S+"
+
+
+def add_word_count(batch: pa.Table, column: str = "text", out: str = "n_words") -> pa.Table:
+    n = pc.count_substring_regex(batch[column], pattern=WORD_RE)
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+def add_token_count(batch: pa.Table, column: str = "text", out: str = "n_tokens") -> pa.Table:
+    n = pc.count_substring_regex(batch[column], pattern=TOKEN_RE)
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+# ---------------------------------------------------------------- lang id
+
+# minimal stopword profiles for the languages present in the corpus;
+# deterministic n-gram-free heuristic: argmax of stopword hit counts,
+# ties broken by fixed language order, 'und' (undetermined) when no hits.
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that for it was on are as with be at by this".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu den von mit auf für im sich".split()),
+    "fr": frozenset("le la les de des et est un une du en que pour dans qui sur pas".split()),
+    "es": frozenset("el la los las de y es un una del en que por para con no se".split()),
+}
+_LANG_ORDER = ("en", "de", "fr", "es")
+_SPLIT_RE = re.compile(r"[^\w]+", re.U)
+
+
+class LangId:
+    """Actor-pool language identifier (stopword-profile heuristic).
+
+    Callable-class form so the profiles are built once per actor —
+    the A2 pattern (magic.Magic detectors built once,
+    security_validator.py:56-58).
+    """
+
+    def __init__(self, column: str = "text", out: str = "lang_pred"):
+        self.column = column
+        self.out = out
+        self.profiles = [(lang, _STOPWORDS[lang]) for lang in _LANG_ORDER]
+
+    def predict_one(self, text: str) -> str:
+        toks = _SPLIT_RE.split(text.lower())
+        best_lang, best_hits = "und", 0
+        for lang, sw in self.profiles:
+            hits = sum(1 for t in toks if t in sw)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict_one(t) for t in batch[self.column].to_pylist()]
+        return batch.append_column(self.out, pa.array(preds, pa.string()))
+
+
+# ---------------------------------------------------------------- quality
+
+_PUNCT_RE = r"[^\w\s]"
+
+
+def add_quality_features(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Vectorized quality features: char/word counts, punctuation ratio,
+    mean word length, stopword(en) ratio — rounded to 6 dp so results
+    hash-compare stably across engines."""
+    text = batch[column]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_words = pc.cast(pc.count_substring_regex(text, pattern=WORD_RE), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, pattern=_PUNCT_RE), pa.int64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(
+            pc.utf8_lower(text),
+            pattern=r"\b(?:the|of|and|to|in|is|that|for|it|was)\b",
+        ),
+        pa.int64(),
+    )
+    chars_f = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+    words_f = pc.cast(pc.max_element_wise(n_words, 1), pa.float64())
+    punct_ratio = pc.round(pc.divide(pc.cast(n_punct, pa.float64()), chars_f), ndigits=6)
+    stop_ratio = pc.round(pc.divide(pc.cast(n_stop, pa.float64()), words_f), ndigits=6)
+    mean_word_len = pc.round(pc.divide(pc.cast(n_chars, pa.float64()), words_f), ndigits=6)
+    for name, col in (
+        ("n_chars_q", n_chars),
+        ("n_words", n_words),
+        ("punct_ratio", punct_ratio),
+        ("stop_ratio", stop_ratio),
+        ("mean_word_len", mean_word_len),
+    ):
+        batch = batch.append_column(name, col)
+    return batch
+
+
+# ------------------------------------------------------------ fingerprint
+
+_FP_BASE = np.uint64(1099511628211)   # FNV-1a prime
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def _fnv1a(data: bytes) -> np.uint64:
+    h = _FP_OFFSET
+    for b in data:
+        h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def fingerprint_text(text: str, window: int = 8) -> int:
+    """Winnowing-style fingerprint: min FNV-1a hash over ``window``-byte
+    rolling windows (int64, sign-folded). Stable content identity that
+    tolerates neither edits (use MinHash for near-dup) — the analog of
+    the reference's SHA-256 content identity (security_validator.py:463-472)
+    but cheap enough for a per-row column."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        return int(_fnv1a(data)) - (1 << 63)
+    best = min(_fnv1a(data[i : i + window]) for i in range(0, len(data) - window + 1, 4))
+    return int(best) - (1 << 63)
+
+
+class Fingerprint:
+    def __init__(self, column: str = "text", out: str = "fp", window: int = 8):
+        self.column, self.out, self.window = column, out, window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [fingerprint_text(t, self.window) for t in batch[self.column].to_pylist()]
+        return batch.append_column(self.out, pa.array(fps, pa.int64()))

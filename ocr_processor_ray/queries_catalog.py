@@ -1,0 +1,636 @@
+"""The engine's query catalog: named pipelines + their DuckDB oracle SQL.
+
+Every entry is a Ray Data pipeline over the driver testdata tables
+(``{sf_dir}/{table}.parquet``); where ANSI-SQL-expressible, a matching
+oracle string lives in ``ORACLE_SQL`` with IDENTICAL column names
+(the driver's comparison sorts columns by name and value-hashes).
+
+Determinism rule for float aggregates: monetary/measure columns in the
+testdata are fixed-point (2–4 decimals), so sums are computed on scaled
+int64 (``round(x * scale)``) and descaled at the end — bit-identical
+between Ray and DuckDB regardless of summation order.
+"""
+
+from __future__ import annotations
+
+import functools
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ocr_processor_ray.functions.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
+from ocr_processor_ray.functions.relational import broadcast_join, bucketed_join
+from ocr_processor_ray.functions.similarity import brute_force_topk, lsh_topk
+from ocr_processor_ray.functions.text import (
+    TOKEN_RE,
+    WORD_RE,
+    Fingerprint,
+    LangId,
+    add_quality_features,
+)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _t(ds_or_table) -> pa.Table:
+    if isinstance(ds_or_table, Dataset):
+        return pa.Table.from_pandas(ds_or_table.to_pandas(), preserve_index=False)
+    return ds_or_table
+
+
+def _scaled_sum_col(batch: pa.Table, expr: pa.ChunkedArray | pa.Array, scale: int, name: str) -> pa.Table:
+    scaled = pc.cast(pc.round(pc.multiply(expr, scale)), pa.int64())
+    return batch.append_column(name, scaled)
+
+
+def _descale(table_or_ds, col: str, scale: int):
+    """int64 cents → double via a single division (NO decimal re-rounding:
+    round-half-even vs round-half-away differs between engines on exact
+    .xx50 sums; plain int/double division is IEEE-identical everywhere)."""
+    t = _t(table_or_ds)
+    vals = pc.divide(pc.cast(t[col], pa.float64()), float(scale))
+    return t.set_column(t.schema.get_field_index(col), col, vals)
+
+
+# ===================================================================
+# documents — extraction-adjacent text ops
+# ===================================================================
+
+
+def q_doc_stats(sf_dir: str):
+    """Per-doc char/word counts — vectorized Arrow kernels (O14/F-family)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars_text": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=WORD_RE), pa.int64()
+                ),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=TOKEN_RE), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_normalize(sf_dir: str):
+    """N1 normalizer applied to the documents table (scalar kernel per row)."""
+    from ocr_processor_ray.extract.normalize import normalize_inline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        out = [normalize_inline(t) for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "norm_text": pa.array(out, pa.string()),
+                "norm_chars": pa.array([len(s) for s in out], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_docs_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def q_docs_top_sources(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source"])
+    counts = ds.groupby("source").aggregate(Count(alias_name="n_docs"))
+    return counts.sort(["n_docs", "source"], descending=[True, False]).limit(5)
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup groups by content hash (D1/D2 → hash groupby)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_groups(ds)
+
+
+def q_doc_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_quality_features(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-profile language ID vs the table's labeled lang (actor pool)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+    return pred.map_batches(
+        lambda b: b.drop_columns(["text"]), batch_format="pyarrow"
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        Fingerprint, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    ).map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+# ===================================================================
+# embeddings — similarity search
+# ===================================================================
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float32)
+
+
+def q_ann_topk(sf_dir: str):
+    """Top-10 cosine neighbors of vec_id=0, as (rank, vec_id).
+
+    The compared columns are integers only: raw-double similarity gaps
+    in this corpus (≥ 8e-6 around the cutoff) exceed cross-engine float
+    disagreement (~1e-7), so rank order is deterministic, while rounded
+    float similarity values are NOT bit-stable across engines.
+    """
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = brute_force_topk(ds, _query_vec(sf_dir), k=10, round_to=4)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+            "vec_id": t["vec_id"],
+        }
+    )
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, _query_vec(sf_dir), k=10, round_to=4)
+
+
+# ===================================================================
+# events — aggregates, windows, sessions
+# ===================================================================
+
+
+def q_events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: _scaled_sum_col(b, b["value"], 100, "value_c").drop_columns(["value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value")
+    )
+    return _descale(agg, "sum_value", 100)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event type (G4 windowed-aggregate analog)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({"event_type": b["event_type"], "hour": hour})
+
+    ds = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby(["event_type", "hour"]).aggregate(Count(alias_name="n_events"))
+
+
+def q_events_top_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    ds = ds.map_batches(
+        lambda b: _scaled_sum_col(b, b["value"], 100, "value_c").drop_columns(["value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value")
+    )
+    top = agg.sort(["sum_value", "user_id"], descending=[True, False]).limit(10)
+    return _descale(top, "sum_value", 100)
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization: per-user ordered gap > 30 min starts a new session.
+
+    groupby(user_id).map_groups over ts-sorted groups — the
+    streaming-shaped pattern (ordered, partitioned log) from SURVEY §2.9.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().astype("int64").to_numpy()
+        n = 1 + int((np.diff(ts) > SESSION_GAP_US).sum()) if len(ts) else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ===================================================================
+# TPC-H-ish relational coverage
+# ===================================================================
+
+_Q1_CUTOFF = datetime(1998, 9, 2)
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1 shape: filter → pre-aggregated groupby on scaled ints."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(_Q1_CUTOFF)))
+        disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+                "base_c": pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100)), pa.int64()),
+                "disc_c": pc.cast(pc.round(pc.multiply(disc_price, 10000)), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="sum_qty"),
+        Sum("base_c", alias_name="sum_base_price"),
+        Sum("disc_c", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+    t = _descale(agg, "sum_base_price", 100)
+    t = _descale(t, "sum_disc_price", 10000)
+    # sum_qty stays integral (quantities are whole numbers)
+    return t.set_column(
+        t.schema.get_field_index("sum_qty"),
+        "sum_qty",
+        pc.cast(t["sum_qty"], pa.float64()),
+    )
+
+
+def q_top_orders_revenue(sf_dir: str):
+    """Big-big join (lineitem ⋈ orders, bucketed hash join) → top 10 revenue."""
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_c": pc.cast(pc.round(pc.multiply(rev, 10000)), pa.int64()),
+            }
+        )
+
+    li = lineitem.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    # pre-aggregate BEFORE the join: one row per orderkey (combiner push-down)
+    li_agg = li.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(li_agg, orders, on="l_orderkey", num_buckets=16)
+    top = joined.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(10)
+    t = _descale(top, "rev_c", 10000)
+    t = t.rename_columns(
+        ["o_orderkey" if c == "l_orderkey" else ("revenue" if c == "rev_c" else c) for c in t.column_names]
+    )
+    return t.select(["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """lineitem ⋈ orders (bucketed) ⋈ customer ⋈ nation (broadcast)."""
+    import pyarrow.parquet as pq
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_c": pc.cast(pc.round(pc.multiply(rev, 10000)), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    li_agg = li.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    joined = bucketed_join(li_agg, orders, on="l_orderkey", num_buckets=16)
+
+    # small side: customer ⋈ nation resolved driver-side, broadcast once
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_nation = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"c_custkey": "o_custkey"})
+    with_nation = broadcast_join(joined, cust_nation, on="o_custkey")
+    agg = with_nation.groupby("n_name").aggregate(Sum("rev_c", alias_name="revenue"))
+    return _descale(agg, "revenue", 10000)
+
+
+def q_orders_by_status_priority(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderstatus": b["o_orderstatus"],
+                "o_orderpriority": b["o_orderpriority"],
+                "price_c": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="sum_price")
+    )
+    return _descale(agg, "sum_price", 100)
+
+
+def q_parts_top_retail(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+
+
+def q_supplier_acctbal_by_nation(sf_dir: str):
+    """supplier ⋈ nation via broadcast (J2 small-side lookup pattern)."""
+    import pyarrow.parquet as pq
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    sup = sup.map_batches(
+        lambda b: pa.table(
+            {
+                "s_nationkey": b["s_nationkey"],
+                "bal_c": pc.cast(pc.round(pc.multiply(b["s_acctbal"], 100)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
+    joined = broadcast_join(sup, nation, on="s_nationkey")
+    agg = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="sum_acctbal")
+    )
+    return _descale(agg, "sum_acctbal", 100)
+
+
+# ===================================================================
+# flagship transcripts + multimodal (non-SQL; rows-only driver check)
+# ===================================================================
+
+
+def q_flagship_extract(sf_dir: str):
+    """Flagship per-turn extraction on a deterministic synthetic corpus
+    (size keyed to the sf directory name so bigger sf = bigger corpus)."""
+    import os
+    import tempfile
+
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+    from ocr_processor_ray.sources.synth import write_transcripts
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n_convs = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 600}.get(sf_name, 150)
+    corpus = os.path.join(tempfile.gettempdir(), f"opr_transcripts_{sf_name}_{n_convs}")
+    marker = os.path.join(corpus, "_complete")
+    if not os.path.exists(marker):
+        write_transcripts(corpus, seed=42, n_convs=n_convs)
+        open(marker, "w").close()
+    paths = [os.path.join(corpus, f) for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")]
+    ds = run_extract(paths, ExtractConfig())
+    return ds.map_batches(lambda b: b.drop_columns(["spans"]), batch_format="pyarrow")
+
+
+def q_conversation_docs(sf_dir: str):
+    """Per-conversation document assembly over the same synthetic corpus."""
+    import os
+    import tempfile
+
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.conversations import assemble_conversations
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+    from ocr_processor_ray.sources.synth import write_transcripts
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n_convs = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 600}.get(sf_name, 150)
+    corpus = os.path.join(tempfile.gettempdir(), f"opr_transcripts_{sf_name}_{n_convs}")
+    marker = os.path.join(corpus, "_complete")
+    if not os.path.exists(marker):
+        write_transcripts(corpus, seed=42, n_convs=n_convs)
+        open(marker, "w").close()
+    paths = [os.path.join(corpus, f) for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")]
+    cfg = ExtractConfig(salt_turn_threshold=256)
+    return assemble_conversations(run_extract(paths, cfg), cfg)
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing: binary payloads → actor-pool decode (stubbed)."""
+    import ray.data as rd2
+
+    from ocr_processor_ray.functions.multimodal import decode_images, synth_media_table
+
+    ds = rd2.from_arrow(synth_media_table(n=128, seed=5))
+    return decode_images(ds)
+
+
+# ===================================================================
+# registries
+# ===================================================================
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "doc_normalize": q_doc_normalize,
+    "docs_by_lang": q_docs_by_lang,
+    "docs_top_sources": q_docs_top_sources,
+    "dedup_exact": q_dedup_exact,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "events_by_type": q_events_by_type,
+    "events_hourly": q_events_hourly,
+    "events_top_users": q_events_top_users,
+    "user_sessions": q_user_sessions,
+    "q1_pricing": q1_pricing,
+    "top_orders_revenue": q_top_orders_revenue,
+    "revenue_by_nation": q_revenue_by_nation,
+    "orders_by_status_priority": q_orders_by_status_priority,
+    "parts_top_retail": q_parts_top_retail,
+    "supplier_acctbal_by_nation": q_supplier_acctbal_by_nation,
+    "flagship_extract": q_flagship_extract,
+    "conversation_docs": q_conversation_docs,
+    "media_decode": q_media_decode,
+}
+
+ORACLE_SQL = {
+    "doc_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars_text,
+               len(regexp_extract_all(text, '\\S+')) AS n_words,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+        FROM documents
+    """,
+    "doc_normalize": """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                    '\\s+', ' ', 'g')) AS norm_text,
+               length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                    '\\s+', ' ', 'g'))) AS norm_chars
+        FROM documents
+    """,
+    "docs_by_lang": """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "docs_top_sources": """
+        SELECT source, count(*) AS n_docs FROM documents
+        GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 5
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n
+        FROM documents GROUP BY md5(text)
+    """,
+    "doc_quality": """
+        SELECT doc_id,
+               length(text) AS n_chars_q,
+               len(regexp_extract_all(text, '\\S+')) AS n_words,
+               round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                     / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+               round(len(regexp_extract_all(lower(text),
+                     '\\b(the|of|and|to|in|is|that|for|it|was)\\b'))
+                     / greatest(len(regexp_extract_all(text, '\\S+')), 1)::DOUBLE, 6) AS stop_ratio,
+               round(length(text)
+                     / greatest(len(regexp_extract_all(text, '\\S+')), 1)::DOUBLE, 6) AS mean_word_len
+        FROM documents
+    """,
+    "ann_topk": """
+        SELECT CAST(row_number() OVER (
+                   ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                            e.vec_id ASC) AS BIGINT) AS rank,
+               e.vec_id
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY rank LIMIT 10
+    """,
+    "events_by_type": """
+        SELECT event_type, count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "events_top_users": """
+        SELECT user_id, count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events GROUP BY user_id
+        ORDER BY sum_value DESC, user_id ASC LIMIT 10
+    """,
+    "user_sessions": """
+        SELECT user_id, count(*) FILTER (WHERE is_new) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   (prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE) AS is_new
+            FROM (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            )
+        ) GROUP BY user_id
+    """,
+    "q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders_revenue": """
+        SELECT o_orderkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+               any_value(o_orderdate) AS o_orderdate,
+               any_value(o_orderpriority) AS o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+        ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "orders_by_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    "parts_top_retail": """
+        SELECT p_partkey, p_name, p_brand, p_retailprice
+        FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+    """,
+    "supplier_acctbal_by_nation": """
+        SELECT n_name, count(*) AS n_suppliers,
+               sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 AS sum_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+}
