@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: one fresh Ray session at ``RAY_GRAFT_CPUS`` (default 32),
+runs the headline flagship extraction pipeline over a deterministic
+synthetic transcript corpus (~500k turns, cached in /tmp) plus the
+catalog queries over ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "turns": N, "turns_per_sec": N}
+
+``--scaling``: runs the headline pipeline in two fresh subprocesses
+(num_cpus=8 and 32) on the same corpus and prints throughput at both
+plus scaling efficiency (the sandbox evidence for the N vs 4N cluster
+criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_SEED = 42
+BENCH_CONVS = int(os.environ.get("OPR_BENCH_CONVS", "10000"))
+CORPUS_DIR = f"/tmp/opr_bench_corpus_{BENCH_SEED}_{BENCH_CONVS}"
+
+# catalog queries timed per run (SQL-oracle subset + representative extras)
+BENCH_QUERIES = [
+    "doc_stats",
+    "doc_normalize",
+    "docs_by_lang",
+    "dedup_exact",
+    "doc_quality",
+    "lang_id",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ann_topk",
+    "events_by_type",
+    "events_hourly",
+    "events_top_users",
+    "user_sessions",
+    "q1_pricing",
+    "top_orders_revenue",
+    "revenue_by_nation",
+    "orders_by_status_priority",
+    "supplier_acctbal_by_nation",
+]
+
+
+def _ensure_corpus() -> int:
+    """Generate the bench corpus once (parallel Ray tasks); cached by key."""
+    from ocr_processor_ray.sources.synth import write_transcripts_parallel
+
+    marker = os.path.join(CORPUS_DIR, "_complete.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)["turns"]
+    turns = write_transcripts_parallel(CORPUS_DIR, seed=BENCH_SEED, n_convs=BENCH_CONVS)
+    with open(marker, "w") as f:
+        json.dump({"turns": turns}, f)
+    return turns
+
+
+def _consume(result) -> int:
+    """Fully execute a query result; return row count. Small results pull
+    to the driver; the big flagship output uses a parallel sink instead
+    (driver-side iter_batches halves throughput — measured)."""
+    from ray.data import Dataset
+
+    if isinstance(result, Dataset):
+        total = 0
+        for batch in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            total += batch.num_rows
+        return total
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    turns = _ensure_corpus()
+
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+    cfg = ExtractConfig(batch_size=1024)
+    paths = [
+        os.path.join(CORPUS_DIR, f)
+        for f in sorted(os.listdir(CORPUS_DIR))
+        if f.endswith(".parquet")
+    ]
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    # catalog queries FIRST: the big headline job leaves worker/object-store
+    # cleanup behind that would contaminate small-query timings
+    from ocr_processor_ray.queries_catalog import QUERIES
+
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    import shutil
+
+    out_dir = "/tmp/opr_bench_headline_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_extract(paths, cfg).write_parquet(out_dir)  # parallel sink
+    headline_sec = time.perf_counter() - t0
+    import pyarrow.dataset as pads
+
+    out_rows = pads.dataset(out_dir).count_rows()
+    assert out_rows == turns, f"row loss: {out_rows} != {turns}"
+
+    result = {
+        "metric": "flagship transcript extraction wall time (+ catalog query times)",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": turns,
+        "turns_per_sec": round(turns / headline_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline job at N and 4N parallelism in fresh processes.
+
+    Default levels 2 and 8: this sandbox VM cannot sustain 32 truly
+    concurrent CPU-bound threads (a raw multiprocessing control shows
+    ~0.65 machine efficiency from 8→32 procs, ~18.5 effective cores at
+    32 — see BASELINE.md), so the honest linear region is ≤ 8 workers.
+    Override with OPR_SCALE_LO / OPR_SCALE_HI to reproduce the saturated
+    8→32 pair.
+    """
+    lo_cpus = int(os.environ.get("OPR_SCALE_LO", "2"))
+    hi_cpus = int(os.environ.get("OPR_SCALE_HI", "8"))
+    # a big enough corpus that per-job fixed costs (~5 s: task launch, read
+    # setup, write finalize) don't mask the compute scaling
+    scale_convs = os.environ.get("OPR_BENCH_CONVS", "40000")
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            OPR_BENCH_HEADLINE_ONLY="1",
+            OPR_BENCH_CONVS=scale_convs,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo_cpus), run(hi_cpus)
+    tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "cpus": [lo_cpus, hi_cpus],
+        "sec": [r_lo["value"], r_hi["value"]],
+        "turns_per_sec": [tp_lo, tp_hi],
+        "turns": r_lo["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        if os.environ.get("OPR_BENCH_HEADLINE_ONLY"):
+            BENCH_QUERIES = []
+        print(json.dumps(run_bench()))

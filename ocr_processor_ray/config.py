@@ -44,7 +44,10 @@ class ExtractConfig:
     """
 
     mode: str = "cli"
-    batch_size: int = 512
+    # stateless task pool by default (elastic, measured faster); flip to an
+    # actor pool only when per-worker init must load heavy state (models)
+    use_actor_pool: bool = False
+    batch_size: int = 1024
     concurrency: tuple[int, int] | int = (2, 8)
     num_cpus: float = 1.0
     num_output_partitions: int = 64

@@ -39,14 +39,21 @@ def add_md5(batch: pa.Table, column: str = "text", out: str = "h") -> pa.Table:
 
 
 def exact_dedup_groups(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
-    """→ one row per distinct content hash: (h, doc_id=min id, n)."""
+    """→ one row per distinct content hash: (h, doc_id=min id, n).
+
+    Arrow two-phase hash aggregation (partials per batch, one combine);
+    when the distinct-hash set outgrows a single worker, swap the final
+    stage for ``groupby("h").aggregate(...)`` which partitions the key
+    space."""
+    from ocr_processor_ray.functions.agg import two_phase_agg
+
     hashed = ds.map_batches(
         lambda t: add_md5(t, text_col).select(["h", id_col]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return hashed.groupby("h").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n")
+    return two_phase_agg(
+        hashed, ["h"], [(id_col, "min", id_col), (id_col, "count", "n")]
     )
 
 

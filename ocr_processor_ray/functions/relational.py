@@ -29,17 +29,51 @@ def broadcast_join(
     on: str | list[str],
     how: str = "inner",
 ) -> Dataset:
-    """Join a Dataset against a small in-memory table without a shuffle."""
+    """Join a Dataset against a small in-memory table without a shuffle.
+
+    ``ray.put`` ships the small side to the object store once; each task
+    reads it zero-copy from the local store (at cluster scale the object
+    transfers to each node once and is cached there — never re-shipped
+    per batch).
+    """
     small_ref = ray.put(small_df)
 
-    class JoinSmall:
-        def __init__(self):
-            self.small = ray.get(small_ref)  # once per actor
+    def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(small_ref)  # local zero-copy read after first fetch
+        return batch.merge(small, on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+    return big.map_batches(join_batch, batch_format="pandas")
 
-    return big.map_batches(JoinSmall, batch_format="pandas", concurrency=(1, 8))
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    num_partitions: int = 32,
+    right_on: str | None = None,
+) -> Dataset:
+    """Large-large inner join via Ray Data's native hash-partitioned join
+    when available (Ray ≥ 2.46), else the explicit ``bucketed_join``.
+
+    ``num_partitions`` is the shuffle fan-out — size it so one partition
+    of the bigger side fits a worker's heap.
+    """
+    if hasattr(left, "join"):
+        return left.join(
+            right,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(on,),
+            right_on=(right_on,) if right_on else None,
+        )
+    if right_on is not None:  # pragma: no cover - fallback path
+        right = right.map_batches(
+            lambda t: t.rename_columns(
+                [on if c == right_on else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return bucketed_join(left, right, on=on, num_buckets=num_partitions)
 
 
 def bucketed_join(

@@ -16,11 +16,13 @@ checkpoint partition writes) sort *within their group/partition* only.
 
 from __future__ import annotations
 
+import functools
+
 import ray.data as rd
 from ray.data import Dataset
 
 from ocr_processor_ray.config import ExtractConfig
-from ocr_processor_ray.stages.extractor import ExtractTurns
+from ocr_processor_ray.stages.extractor import ExtractTurns, extract_batch
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 # columns the extraction stage actually consumes — pruned at the read
@@ -33,16 +35,31 @@ def read_transcripts(path: str | list[str], columns: list[str] | None = None) ->
 
 
 def extract_turns(ds: Dataset, cfg: ExtractConfig | None = None) -> Dataset:
-    """Attach the actor-pool extraction stage. Lazy; no shuffle."""
+    """Attach the extraction stage. Lazy; no shuffle.
+
+    Default: stateless task pool (``extract_batch``) — elastic, no pool
+    management, warm module state in reused workers. With
+    ``cfg.use_actor_pool``: fixed/autoscaling actor pool for heavy
+    per-worker init.
+    """
     cfg = cfg or ExtractConfig()
+    if cfg.use_actor_pool:
+        return ds.map_batches(
+            ExtractTurns,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+            concurrency=cfg.concurrency,
+            num_cpus=cfg.num_cpus,
+        )
     return ds.map_batches(
-        ExtractTurns,
-        fn_constructor_kwargs={"cfg": cfg},
+        functools.partial(
+            extract_batch, mode=cfg.mode, max_payload_bytes=cfg.max_payload_bytes
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.batch_size,
-        concurrency=cfg.concurrency,
-        num_cpus=cfg.num_cpus,
     )
 
 

@@ -24,8 +24,9 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ocr_processor_ray.functions.agg import two_phase_agg
 from ocr_processor_ray.functions.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
-from ocr_processor_ray.functions.relational import broadcast_join, bucketed_join
+from ocr_processor_ray.functions.relational import broadcast_join, bucketed_join, hash_join
 from ocr_processor_ray.functions.similarity import brute_force_topk, lsh_topk
 from ocr_processor_ray.functions.text import (
     TOKEN_RE,
@@ -136,22 +137,29 @@ def q_doc_quality(sf_dir: str):
     )
 
 
+_LANGID = LangId()
+_FINGERPRINT = Fingerprint()
+
+
 def q_lang_id(sf_dir: str):
-    """Stopword-profile language ID vs the table's labeled lang (actor pool)."""
+    """Stopword-profile language ID vs the table's labeled lang. The
+    profile object rides the task closure; reused workers keep it warm
+    (task pool — cheaper than an actor pool for light state)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    pred = ds.map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
-    return pred.map_batches(
-        lambda b: b.drop_columns(["text"]), batch_format="pyarrow"
+    return ds.map_batches(
+        lambda b: _LANGID(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
 def q_doc_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        Fingerprint, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    ).map_batches(lambda b: b.drop_columns(["text"]), batch_format="pyarrow")
+        lambda b: _FINGERPRINT(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -322,8 +330,10 @@ def q_top_orders_revenue(sf_dir: str):
         )
 
     li = lineitem.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    # pre-aggregate BEFORE the join: one row per orderkey (combiner push-down)
-    li_agg = li.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
+    # pre-aggregate BEFORE the join: one row per orderkey. Arrow two-phase
+    # (147k groups fit one combine worker); the sort-based
+    # groupby().aggregate() costs 7s+ at this group count.
+    li_agg = two_phase_agg(li, ["l_orderkey"], [("rev_c", "sum", "rev_c")])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
         lambda b: b.rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
         batch_format="pyarrow",
@@ -353,11 +363,10 @@ def q_revenue_by_nation(sf_dir: str):
         )
 
     li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    li_agg = li.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
-    )
-    joined = bucketed_join(li_agg, orders, on="l_orderkey", num_buckets=16)
+    li_agg = two_phase_agg(li, ["l_orderkey"], [("rev_c", "sum", "rev_c")])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_join(li_agg, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=16)
 
     # small side: customer ⋈ nation resolved driver-side, broadcast once
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()

@@ -131,11 +131,19 @@ def make_transcripts(
     n_convs: int = 100,
     skew_every: int = 37,
     skew_turns: int = 1200,
+    conv_range: tuple[int, int] | None = None,
 ) -> pa.Table:
     """Build the transcripts table. Every ``skew_every``-th conversation is
-    a long one (``skew_turns`` turns) to exercise salted-split skew handling."""
+    a long one (``skew_turns`` turns) to exercise salted-split skew handling.
+
+    ``conv_range=(lo, hi)`` generates only conversations ``lo..hi-1`` —
+    each conversation has its own seeded RNG stream, so ranges generated
+    independently (e.g. by parallel Ray tasks) concatenate to exactly the
+    full table.
+    """
+    lo, hi = conv_range if conv_range is not None else (0, n_convs)
     conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
-    for ci in range(n_convs):
+    for ci in range(lo, hi):
         rng = random.Random((seed << 20) ^ ci)  # per-conv stream: order-independent
         conv = f"conv-{ci:06d}"
         if skew_every and ci % skew_every == skew_every - 1:
@@ -200,3 +208,30 @@ def write_transcripts(
         chunk = table.slice(i * rows_per_file, rows_per_file)
         pq.write_table(chunk, os.path.join(out_dir, f"transcripts-{i:04d}.parquet"))
     return out_dir
+
+
+def write_transcripts_parallel(
+    out_dir: str,
+    seed: int = 7,
+    n_convs: int = 2000,
+    convs_per_task: int = 250,
+    **kwargs,
+) -> int:
+    """Generate a large corpus with parallel Ray tasks, one conv-range per
+    task (per-conv RNG streams make ranges independent). Returns total
+    turn count. Requires an initialised Ray session."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def gen_range(lo: int, hi: int) -> int:
+        t = make_transcripts(seed=seed, n_convs=n_convs, conv_range=(lo, hi), **kwargs)
+        pq.write_table(t, os.path.join(out_dir, f"transcripts-{lo:07d}.parquet"))
+        return t.num_rows
+
+    futs = [
+        gen_range.remote(lo, min(lo + convs_per_task, n_convs))
+        for lo in range(0, n_convs, convs_per_task)
+    ]
+    return sum(ray.get(futs))

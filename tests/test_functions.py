@@ -1,0 +1,210 @@
+"""Unit tests for training-data ops: dedup, similarity, joins, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_processor_ray.functions.dedup import (
+    jaccard,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from ocr_processor_ray.functions.text import fingerprint_text
+
+
+def _doc_table(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+NEAR = BASE.replace("lazy", "sleepy")  # one-word edit → jaccard ~0.67
+EXT = BASE + " extra"  # suffix edit → jaccard ~0.94, collides in LSH bands
+FAR = "completely different content about stream processing engines and arrow tables"
+
+
+class TestMinHashKernels:
+    def test_jaccard_bounds(self):
+        assert jaccard(BASE, BASE) == 1.0
+        assert jaccard(BASE, NEAR) > 0.6
+        assert jaccard(BASE, FAR) < 0.1
+
+    def test_signature_similarity_tracks_jaccard(self):
+        sa, sb = minhash_signature(BASE), minhash_signature(NEAR)
+        est = (sa == sb).mean()
+        assert abs(est - jaccard(BASE, NEAR)) < 0.25
+
+    def test_deterministic(self):
+        assert minhash_signature(BASE).tolist() == minhash_signature(BASE).tolist()
+        assert shingle_hashes(BASE).tolist() == shingle_hashes(BASE).tolist()
+
+    def test_short_doc_has_shingle(self):
+        assert len(shingle_hashes("one")) == 1
+        assert len(shingle_hashes("")) == 1
+
+
+class TestSimHash:
+    def test_near_docs_low_hamming(self):
+        a, b = simhash64(BASE), simhash64(NEAR)
+        dist = bin((a + (1 << 63)) ^ (b + (1 << 63))).count("1")
+        assert dist <= 12
+        c = simhash64(FAR)
+        dist_far = bin((a + (1 << 63)) ^ (c + (1 << 63))).count("1")
+        assert dist_far > dist
+
+    def test_int64_range(self):
+        v = simhash64(BASE)
+        assert -(1 << 63) <= v < (1 << 63)
+
+
+class TestFingerprint:
+    def test_deterministic_and_int64(self):
+        v = fingerprint_text(BASE)
+        assert v == fingerprint_text(BASE)
+        assert -(1 << 63) <= v < (1 << 63)
+        assert fingerprint_text(BASE) != fingerprint_text(FAR)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupPipelines:
+    def test_minhash_lsh_finds_planted_neardup(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import minhash_lsh_pairs
+
+        # J(BASE, NEAR)=0.67 sits below the 8x8 LSH threshold (~0.77) and
+        # deterministically collides in 0 bands; EXT (J=0.94) collides in 7.
+        texts = [BASE, EXT, FAR] + [f"filler document number {i} with words {i*7}" for i in range(20)]
+        ds = rd.from_arrow(_doc_table(texts))
+        pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+        assert all(j >= 0.5 for j in pairs["jaccard"])
+
+    def test_simhash_finds_planted_neardup(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import simhash_pairs
+
+        # the quarter-bucket candidate scheme only GUARANTEES detection for
+        # hamming ≤ 3 (pigeonhole over 4×16-bit quarters); a long doc plus
+        # one appended word lands at hamming 1
+        long_doc = " ".join(f"token{i}" for i in range(200))
+        texts = [long_doc, long_doc + " extra", FAR] + [
+            f"unrelated doc {i} talking about topic {i * 13}" for i in range(10)
+        ]
+        ds = rd.from_arrow(_doc_table(texts))
+        pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+        assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+    def test_exact_dedup_keeps_min_id(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import exact_dedup_groups
+
+        ds = rd.from_arrow(_doc_table([BASE, FAR, BASE, BASE]))
+        out = exact_dedup_groups(ds).to_pandas().sort_values("doc_id")
+        assert len(out) == 2
+        dup_row = out[out["n"] == 3].iloc[0]
+        assert dup_row["doc_id"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def _embedding_ds(self, n=200, dim=16, seed=3):
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        return rd.from_arrow(t), vecs
+
+    def test_brute_force_matches_numpy(self):
+        from ocr_processor_ray.functions.similarity import brute_force_topk
+
+        ds, vecs = self._embedding_ds()
+        q = vecs[7]
+        got = brute_force_topk(ds, q, k=5)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        sims = vn.astype(np.float64) @ qn.astype(np.float64)
+        want_ids = np.argsort(-sims)[:5].tolist()
+        assert got["vec_id"].to_pylist() == want_ids
+
+    def test_lsh_recall_reasonable(self):
+        from ocr_processor_ray.functions.similarity import brute_force_topk, lsh_topk
+
+        ds, vecs = self._embedding_ds(n=500)
+        q = vecs[0]
+        exact = set(brute_force_topk(ds, q, k=10)["vec_id"].to_pylist())
+        approx = set(lsh_topk(ds, q, k=10, n_bits=6, n_tables=8)["vec_id"].to_pylist())
+        # the query vector itself must always be found
+        assert 0 in approx
+        assert len(exact & approx) >= 3  # recall ≥ 0.3 with these params
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoins:
+    def test_bucketed_join_matches_pandas(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import bucketed_join
+
+        left = pd.DataFrame({"k": range(100), "a": range(100, 200)})
+        right = pd.DataFrame({"k": [i for i in range(0, 100, 2)], "b": range(50)})
+        got = (
+            bucketed_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=8)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = left.merge(right, on="k").sort_values("k", ignore_index=True)
+        # bucketed_join unions both sides before grouping, so columns absent
+        # from one side pass through pandas as NaN and ints widen to float;
+        # values are exact (native hash_join avoids the widening)
+        pd.testing.assert_frame_equal(got[["k", "a", "b"]], want, check_dtype=False)
+
+    def test_broadcast_join(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import broadcast_join
+
+        big = pd.DataFrame({"k": list(range(10)) * 5, "v": range(50)})
+        small = pd.DataFrame({"k": range(10), "name": [f"n{i}" for i in range(10)]})
+        got = broadcast_join(rd.from_pandas(big), small, on="k").to_pandas()
+        assert len(got) == 50
+        assert set(got.columns) == {"k", "v", "name"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_decode_stub_schema_and_determinism(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.multimodal import decode_images, synth_media_table
+
+        ds = rd.from_arrow(synth_media_table(n=32))
+        out = decode_images(ds).to_pandas().sort_values("media_id", ignore_index=True)
+        assert set(out.columns) == {
+            "media_id", "mime", "width", "height",
+            "dec_width", "dec_height", "mean_luma", "phash",
+        }
+        out2 = decode_images(rd.from_arrow(synth_media_table(n=32))).to_pandas().sort_values(
+            "media_id", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_real_decode_is_explicit_stub(self):
+        from ocr_processor_ray.functions.multimodal import DecodeImage
+
+        with pytest.raises(NotImplementedError):
+            DecodeImage(fake=False)
