@@ -428,6 +428,136 @@ def q_supplier_acctbal_by_nation(sf_dir: str):
 
 
 # ===================================================================
+# validation / security scan (O12/O14/O15)
+# ===================================================================
+
+
+def q_doc_security_scan(sf_dir: str):
+    """Suspicious-pattern scan + sha256 + risk classification per doc."""
+    from ocr_processor_ray.stages.validate import add_sha256, classify_risk, scan_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        out = classify_risk(scan_batch(b))
+        out = add_sha256(out)
+        return out.select(["doc_id", "sha256", "risk_score", "risk_level"])
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ===================================================================
+# more relational / window coverage
+# ===================================================================
+
+
+def q_lineitem_q6(sf_dir: str):
+    """TPC-H Q6 shape: filtered single-row revenue sum (scaled ints)."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(datetime(1996, 1, 1))),
+                pc.less(b["l_shipdate"], pa.scalar(datetime(1997, 1, 1))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b["l_discount"], 0.05),
+                    pc.less_equal(b["l_discount"], 0.07),
+                ),
+                pc.less(b["l_quantity"], 24.0),
+            ),
+        )
+        b = b.filter(mask)
+        rev = pc.multiply(b["l_extendedprice"], b["l_discount"])
+        return pa.table(
+            {"rev_c": pc.cast(pc.round(pc.multiply(rev, 10000)), pa.int64())}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    total = ds.sum("rev_c")
+    return pa.table({"revenue": pa.array([total / 10000.0], pa.float64())})
+
+
+def q_customer_segments(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "bal_c": pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = two_phase_agg(
+        ds,
+        ["c_mktsegment"],
+        [("bal_c", "count", "n_customers"), ("bal_c", "sum", "sum_acctbal")],
+    )
+    return _descale(agg, "sum_acctbal", 100)
+
+
+def q_suppliers_by_region(sf_dir: str):
+    """Two-hop broadcast chain: supplier → nation → region (J2 pattern)."""
+    import pyarrow.parquet as pq
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nr = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "s_nationkey"})
+    joined = broadcast_join(sup, nr, on="s_nationkey")
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+
+
+def q_events_last_week(sf_dir: str):
+    """G4 analog: aggregate over a trailing 7-day window of the stream."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    max_ts = ds.max("ts")
+    cutoff = max_ts - pd.Timedelta(days=7)
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["ts"], pa.scalar(cutoff)))
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "value_c": pc.cast(pc.round(pc.multiply(b["value"], 100)), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = two_phase_agg(
+        ds,
+        ["event_type"],
+        [("value_c", "count", "n_events"), ("value_c", "sum", "sum_value")],
+    )
+    return _descale(agg, "sum_value", 100)
+
+
+def q_events_running_sum(sf_dir: str):
+    """Window function: per-user running sum ordered by (ts, event_id) —
+    groupby(user).map_groups over the sorted group (scaled-int cumsum)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = (g["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_c": cents.cumsum().to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+# ===================================================================
 # flagship transcripts + multimodal (non-SQL; rows-only driver check)
 # ===================================================================
 
@@ -516,6 +646,12 @@ QUERIES = {
     "flagship_extract": q_flagship_extract,
     "conversation_docs": q_conversation_docs,
     "media_decode": q_media_decode,
+    "doc_security_scan": q_doc_security_scan,
+    "lineitem_q6": q_lineitem_q6,
+    "customer_segments": q_customer_segments,
+    "suppliers_by_region": q_suppliers_by_region,
+    "events_last_week": q_events_last_week,
+    "events_running_sum": q_events_running_sum,
 }
 
 ORACLE_SQL = {
@@ -641,5 +777,72 @@ ORACLE_SQL = {
                sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0 AS sum_acctbal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "doc_security_scan": """
+        SELECT doc_id, sha256(text) AS sha256,
+               (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END) AS risk_score,
+               CASE WHEN (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END) >= 5 THEN 'critical'
+                    WHEN (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END) >= 3 THEN 'high'
+                    WHEN (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END) >= 1 THEN 'medium'
+                    ELSE 'low' END AS risk_level
+        FROM documents
+    """,
+    "lineitem_q6": """
+        SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "customer_segments": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_acctbal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "suppliers_by_region": """
+        SELECT r_name, count(*) AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "events_last_week": """
+        SELECT event_type, count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        GROUP BY event_type
+    """,
+    "events_running_sum": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS running_c
+        FROM events
     """,
 }
