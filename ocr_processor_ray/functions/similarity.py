@@ -72,6 +72,78 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    ds: Dataset,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    n_tables: int = 8,
+    round_to: int = 5,
+    max_bucket: int = 500,
+) -> Dataset:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets.
+
+    Each vector lands in one bucket per table (coarse ``n_bits``-bit
+    keys); within-bucket all-pairs cosine ≥ threshold are emitted and
+    deduped across tables by a tiny (id_a, id_b) groupby. Recall for a
+    pair at angle θ is ``1-(1-(1-θ/π)^n_bits)^n_tables`` — with the
+    defaults ≥ 0.99 at cosine 0.95. The shuffle moves (key, id, vector)
+    rows only; bucket width bounds the quadratic verify.
+    """
+    from ray.data.aggregate import Max
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+        ids = np.asarray(batch[id_col])
+        dim = m.shape[1]
+        t_col, k_col, i_col, v_col = [], [], [], []
+        for t in range(n_tables):
+            signs = hyperplane_signs(m.astype(np.float32), dim, n_bits, t)
+            keys = signs @ (1 << np.arange(n_bits, dtype=np.uint64))
+            t_col.extend([t] * len(m))
+            k_col.extend(int(k) for k in keys)
+            i_col.extend(int(i) for i in ids)
+            v_col.extend(m.tolist())
+        return pa.table(
+            {
+                "table": pa.array(t_col, pa.int32()),
+                "key": pa.array(k_col, pa.int64()),
+                id_col: pa.array(i_col, pa.int64()),
+                "_vec": pa.array(v_col, pa.list_(pa.float64())),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = min(group.num_rows, max_bucket)
+        ids = group[id_col].to_pylist()[:n]
+        vecs = np.array(group["_vec"].to_pylist()[:n], dtype=np.float64)
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        vecs = vecs[order]
+        sims = vecs @ vecs.T
+        a, b, s = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] != ids[j] and sims[i, j] >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    s.append(round(float(sims[i, j]), round_to))
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "cos_sim": pa.array(s, pa.float64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = exploded.groupby(["table", "key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
+
+
 _HYPERPLANE_SEED = 977
 
 

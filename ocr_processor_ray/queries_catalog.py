@@ -208,6 +208,16 @@ def q_ann_topk_lsh(sf_dir: str):
     return lsh_topk(ds, _query_vec(sf_dir), k=10, round_to=4)
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs. This corpus is isotropic random
+    (max offdiagonal cosine ≈ 0.48 at sf0.001), so the threshold sits at
+    0.45 to exercise the pipeline; real corpora use ≥ 0.9."""
+    from ocr_processor_ray.functions.similarity import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.45)
+
+
 # ===================================================================
 # events — aggregates, windows, sessions
 # ===================================================================
@@ -562,14 +572,12 @@ def q_events_running_sum(sf_dir: str):
 # ===================================================================
 
 
-def q_flagship_extract(sf_dir: str):
-    """Flagship per-turn extraction on a deterministic synthetic corpus
-    (size keyed to the sf directory name so bigger sf = bigger corpus)."""
+def _flagship_corpus(sf_dir: str) -> list[str]:
+    """Deterministic synthetic transcript corpus, size keyed to the sf
+    directory name (bigger sf = bigger corpus); generated once, cached."""
     import os
     import tempfile
 
-    from ocr_processor_ray.config import ExtractConfig
-    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
     from ocr_processor_ray.sources.synth import write_transcripts
 
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
@@ -579,31 +587,66 @@ def q_flagship_extract(sf_dir: str):
     if not os.path.exists(marker):
         write_transcripts(corpus, seed=42, n_convs=n_convs)
         open(marker, "w").close()
-    paths = [os.path.join(corpus, f) for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")]
-    ds = run_extract(paths, ExtractConfig())
+    return [
+        os.path.join(corpus, f)
+        for f in sorted(os.listdir(corpus))
+        if f.endswith(".parquet")
+    ]
+
+
+def q_flagship_extract(sf_dir: str):
+    """Flagship per-turn extraction on the deterministic synthetic corpus."""
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+    ds = run_extract(_flagship_corpus(sf_dir), ExtractConfig())
     return ds.map_batches(lambda b: b.drop_columns(["spans"]), batch_format="pyarrow")
 
 
 def q_conversation_docs(sf_dir: str):
     """Per-conversation document assembly over the same synthetic corpus."""
-    import os
-    import tempfile
-
     from ocr_processor_ray.config import ExtractConfig
     from ocr_processor_ray.pipelines.conversations import assemble_conversations
     from ocr_processor_ray.pipelines.extract_pipeline import run_extract
-    from ocr_processor_ray.sources.synth import write_transcripts
 
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
-    n_convs = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 600}.get(sf_name, 150)
-    corpus = os.path.join(tempfile.gettempdir(), f"opr_transcripts_{sf_name}_{n_convs}")
-    marker = os.path.join(corpus, "_complete")
-    if not os.path.exists(marker):
-        write_transcripts(corpus, seed=42, n_convs=n_convs)
-        open(marker, "w").close()
-    paths = [os.path.join(corpus, f) for f in sorted(os.listdir(corpus)) if f.endswith(".parquet")]
     cfg = ExtractConfig(salt_turn_threshold=256)
-    return assemble_conversations(run_extract(paths, cfg), cfg)
+    return assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
+
+
+def q_flagship_extract_visual(sf_dir: str):
+    """Visual mode (O3 'visual'): word-level spans added — returned as
+    per-turn span counts (deterministic ints; the span structs themselves
+    are golden-tested against the oracle in pytest)."""
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+    paths = _flagship_corpus(sf_dir)
+    ds = run_extract(paths, ExtractConfig(mode="visual"))
+
+    def span_counts(b: pa.Table) -> pa.Table:
+        word_counts = []
+        totals = []
+        for spans in b["spans"].to_pylist():
+            totals.append(len(spans))
+            word_counts.append(sum(1 for s in spans if s["kind"] == "word"))
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"],
+                "status": b["status"],
+                "n_spans": pa.array(totals, pa.int64()),
+                "n_word_spans": pa.array(word_counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(span_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup pairs (MinHash-LSH candidate
+    generation, exact-shingle verification) at a lower threshold."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.35)
 
 
 def q_media_decode(sf_dir: str):
@@ -633,6 +676,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
     "events_top_users": q_events_top_users,
@@ -646,6 +690,8 @@ QUERIES = {
     "flagship_extract": q_flagship_extract,
     "conversation_docs": q_conversation_docs,
     "media_decode": q_media_decode,
+    "flagship_extract_visual": q_flagship_extract_visual,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_security_scan": q_doc_security_scan,
     "lineitem_q6": q_lineitem_q6,
     "customer_segments": q_customer_segments,

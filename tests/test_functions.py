@@ -208,3 +208,42 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             DecodeImage(fake=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingNearDup:
+    def test_finds_planted_neardup(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.similarity import embedding_near_dup_pairs
+
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal((100, 32)).astype(np.float32)
+        # plant: vec 100 = vec 0 + small noise (cosine ≈ 0.999)
+        planted = base[0] + 0.02 * rng.standard_normal(32).astype(np.float32)
+        vecs = np.vstack([base, planted[None, :]])
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        pairs = embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.9).to_pandas()
+        assert (0, 100) in set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (pairs["cos_sim"] >= 0.9).all()
+
+    def test_no_false_pairs_on_random(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.similarity import embedding_near_dup_pairs
+
+        rng = np.random.RandomState(12)
+        vecs = rng.standard_normal((80, 32)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        pairs = embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.95).to_pandas()
+        assert len(pairs) == 0
