@@ -76,18 +76,10 @@ def hash_join(
     return bucketed_join(left, right, on=on, num_buckets=num_partitions)
 
 
-def bucketed_join(
-    left: Dataset,
-    right: Dataset,
-    on: str,
-    num_buckets: int = 32,
-    suffix_right: str = "_r",
-) -> Dataset:
-    """Partitioned hash join of two large Datasets on an int64 key.
-
-    Exchange volume = both inputs exactly once, keyed by
-    ``key % num_buckets``.
-    """
+def _tagged_bucket_union(left: Dataset, right: Dataset, on: str, num_buckets: int):
+    """Tag each side, bucket by ``hash(key) % B``, pad to a common schema
+    and union — the explicit partitioned-exchange prelude shared by the
+    bucketed hash join and the as-of join. Returns (unioned, l_cols, r_cols)."""
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -102,20 +94,9 @@ def bucketed_join(
 
         return fn
 
-    # union requires identical schemas; map each side through pandas merge
-    # instead: group both sides by bucket via a tagged pandas concat.
     l_tagged = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
     r_tagged = right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
 
-    l_cols = [c for c in left.schema().names]
-    r_cols = [c for c in right.schema().names]
-
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lhs = group[group["_side"] == 0][l_cols]
-        rhs = group[group["_side"] == 1][r_cols]
-        return lhs.merge(rhs, on=on, how="inner", suffixes=("", suffix_right))
-
-    # pad schemas to a common superset so union() accepts them
     def pad(cols_missing: list[str], types: dict):
         def fn(batch: pa.Table) -> pa.Table:
             for c in cols_missing:
@@ -134,6 +115,55 @@ def bucketed_join(
     ordered_cols = list(all_types)
     l_padded = l_padded.map_batches(lambda t: t.select(ordered_cols), batch_format="pyarrow")
     r_padded = r_padded.map_batches(lambda t: t.select(ordered_cols), batch_format="pyarrow")
+    return l_padded.union(r_padded), list(left.schema().names), list(right.schema().names)
 
-    both = l_padded.union(r_padded)
+
+def bucketed_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    num_buckets: int = 32,
+    suffix_right: str = "_r",
+) -> Dataset:
+    """Partitioned hash join of two large Datasets on an int64 key.
+
+    Exchange volume = both inputs exactly once, keyed by
+    ``key % num_buckets``.
+    """
+    both, l_cols, r_cols = _tagged_bucket_union(left, right, on, num_buckets)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["_side"] == 0][l_cols]
+        rhs = group[group["_side"] == 1][r_cols]
+        return lhs.merge(rhs, on=on, how="inner", suffixes=("", suffix_right))
+
+    return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts: str,
+    num_buckets: int = 32,
+    suffix_right: str = "_r",
+) -> Dataset:
+    """As-of (backward) join: for each left row, the latest right row of
+    the same ``key`` with ``right.ts <= left.ts`` (LEFT-join semantics —
+    unmatched rows keep nulls). Ray Data has no native as-of join; this
+    is the documented composition: bucket both sides by ``hash(key) % B``
+    (co-locates every key's rows), then ``pd.merge_asof(by=key)`` over
+    the ts-sorted bucket. Partitioning assumption: one key's rows all
+    land in one bucket; skewed keys bound bucket size by B choice.
+    """
+    both, l_cols, r_cols = _tagged_bucket_union(left, right, key, num_buckets)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["_side"] == 0][l_cols].sort_values(ts, kind="mergesort")
+        rhs = group[group["_side"] == 1][r_cols].sort_values(ts, kind="mergesort")
+        return pd.merge_asof(
+            lhs, rhs, on=ts, by=key, direction="backward",
+            suffixes=("", suffix_right),
+        )
+
     return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -1,0 +1,81 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The two-phase sketch pattern (guide: "emit one serialized sketch per
+batch and merge them in a second, tiny stage"): each batch produces a
+2^p-register HLL (deterministic blake2b hashing), registers merge by
+elementwise max, and the estimate uses the standard HLL bias-corrected
+formula with linear counting for the small range. No shuffle — partials
+ride a ``map_batches`` and fold in one combine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hash64(values) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for v in values
+        ),
+        dtype=np.uint64,
+    )
+
+
+def hll_registers(values) -> np.ndarray:
+    """Registers (uint8[HLL_M]) for a batch of values."""
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rank = leading zeros of the remaining 64-P bits + 1
+    ranks = np.zeros(len(h), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    work = rest.copy()
+    rank = 1
+    remaining = np.ones(len(h), dtype=bool)
+    while remaining.any() and rank <= 64 - HLL_P + 1:
+        top = (work & mask) != 0
+        newly = remaining & top
+        ranks[newly] = rank
+        remaining &= ~top
+        work = work << np.uint64(1)
+        rank += 1
+    np.maximum.at(regs, idx, ranks)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    est = _ALPHA * HLL_M * HLL_M / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * HLL_M and zeros > 0:
+        est = HLL_M * np.log(HLL_M / zeros)  # linear counting
+    return float(est)
+
+
+def approx_distinct(ds: Dataset, column: str) -> int:
+    """Approximate COUNT(DISTINCT column): per-batch HLL partials merged
+    by elementwise max (sketches are designed to be mergeable)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_registers(batch[column].to_pylist())
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = np.zeros(HLL_M, dtype=np.uint8)
+    for row in partials.take_all():  # one tiny row per batch
+        merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
+    return round(hll_estimate(merged))

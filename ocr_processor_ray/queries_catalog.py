@@ -437,6 +437,72 @@ def q_supplier_acctbal_by_nation(sf_dir: str):
     return _descale(agg, "sum_acctbal", 100)
 
 
+def q_events_asof_purchase(sf_dir: str):
+    """As-of join: for each 'error' event, the user's latest prior
+    'purchase' event (bucket-partitioned merge_asof — the custom
+    operator Ray Data lacks)."""
+    from ocr_processor_ray.functions.relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    errors = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "error")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    purchases = ev.map_batches(
+        lambda b: pa.table(
+            {
+                "prev_purchase_id": b.filter(pc.equal(b["event_type"], "purchase"))["event_id"],
+                "user_id": b.filter(pc.equal(b["event_type"], "purchase"))["user_id"],
+                "ts": b.filter(pc.equal(b["event_type"], "purchase"))["ts"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = asof_join(errors, purchases, key="user_id", ts="ts", num_buckets=16)
+
+    def finish(b: pa.Table) -> pa.Table:
+        prev = pc.fill_null(pc.cast(b["prev_purchase_id"], pa.int64()), -1)
+        return pa.table(
+            {"event_id": b["event_id"], "user_id": b["user_id"], "prev_purchase_id": prev}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_distinct_event_types(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def q_events_daily_users(sf_dir: str):
+    """COUNT(DISTINCT user) per day — two chained two-phase aggregations
+    (distinct (day,user) pairs, then count per day); no sort shuffle."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.floor_temporal(b["ts"], unit="day"), "user_id": b["user_id"]}
+        )
+
+    ds = ds.map_batches(day, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = two_phase_agg(ds, ["day", "user_id"], [("user_id", "count", "_c")])
+    return two_phase_agg(pairs, ["day"], [("user_id", "count", "n_users")])
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL sketch approximate distinct (mergeable per-batch partials)."""
+    from ocr_processor_ray.functions.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = approx_distinct(ds, "user_id")
+    return pa.table({"n_users_approx": pa.array([n], pa.int64())})
+
+
 # ===================================================================
 # validation / security scan (O12/O14/O15)
 # ===================================================================
@@ -698,6 +764,10 @@ QUERIES = {
     "suppliers_by_region": q_suppliers_by_region,
     "events_last_week": q_events_last_week,
     "events_running_sum": q_events_running_sum,
+    "events_asof_purchase": q_events_asof_purchase,
+    "distinct_event_types": q_distinct_event_types,
+    "events_daily_users": q_events_daily_users,
+    "approx_distinct_users": q_approx_distinct_users,
 }
 
 ORACLE_SQL = {
@@ -890,5 +960,20 @@ ORACLE_SQL = {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS running_c
         FROM events
+    """,
+    "events_asof_purchase": """
+        SELECT l.event_id, l.user_id,
+               COALESCE(r.event_id, -1) AS prev_purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "distinct_event_types": """
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    "events_daily_users": """
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY date_trunc('day', ts)
     """,
 }

@@ -247,3 +247,63 @@ class TestEmbeddingNearDup:
         )
         pairs = embedding_near_dup_pairs(rd.from_arrow(t), threshold=0.95).to_pandas()
         assert len(pairs) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import asof_join
+
+        rng = np.random.RandomState(5)
+        left = pd.DataFrame(
+            {
+                "lid": range(60),
+                "k": rng.randint(0, 6, 60).astype("int64"),
+                "t": rng.randint(0, 1000, 60).astype("int64"),
+            }
+        ).drop_duplicates(["k", "t"], ignore_index=True)
+        right = pd.DataFrame(
+            {
+                "rid": range(40),
+                "k": rng.randint(0, 6, 40).astype("int64"),
+                "t": rng.randint(0, 1000, 40).astype("int64"),
+            }
+        ).drop_duplicates(["k", "t"], ignore_index=True)
+        got = (
+            asof_join(rd.from_pandas(left), rd.from_pandas(right), key="k", ts="t",
+                      num_buckets=4)
+            .to_pandas()
+            .sort_values("lid", ignore_index=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction="backward",
+        ).sort_values("lid", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            got[["lid", "k", "t", "rid"]], want[["lid", "k", "t", "rid"]],
+            check_dtype=False,
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketch:
+    def test_hll_within_tolerance(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.sketch import approx_distinct
+
+        n_distinct = 5000
+        vals = [i % n_distinct for i in range(20000)]
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        est = approx_distinct(ds, "v")
+        assert abs(est - n_distinct) / n_distinct < 0.05
+
+    def test_hll_deterministic(self):
+        from ocr_processor_ray.functions.sketch import hll_estimate, hll_registers
+
+        r1, r2 = hll_registers(range(1000)), hll_registers(range(1000))
+        assert (r1 == r2).all()
+        assert hll_estimate(r1) == hll_estimate(r2)
