@@ -138,6 +138,19 @@ def run_bench() -> dict:
     out_rows = pads.dataset(out_dir).count_rows()
     assert out_rows == turns, f"row loss: {out_rows} != {turns}"
 
+    # checkpointed (resumable) flagship: + conv_id-hash partitioning shuffle,
+    # atomic per-partition writes, manifests, counters
+    ckpt_sec = None
+    if not os.environ.get("OPR_BENCH_HEADLINE_ONLY"):
+        from ocr_processor_ray.state.checkpoint import run_checkpointed
+
+        ckpt_dir = "/tmp/opr_bench_ckpt_out"
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        summary = run_checkpointed(paths, ckpt_dir, cfg)
+        ckpt_sec = time.perf_counter() - t0
+        assert summary["counters"]["_total"]["turns"] == turns
+
     result = {
         "metric": "flagship transcript extraction wall time (+ catalog query times)",
         "value": round(headline_sec, 3),
@@ -148,6 +161,9 @@ def run_bench() -> dict:
         "turns": turns,
         "turns_per_sec": round(turns / headline_sec, 1),
     }
+    if ckpt_sec is not None:
+        result["checkpointed_sec"] = round(ckpt_sec, 3)
+        result["checkpointed_turns_per_sec"] = round(turns / ckpt_sec, 1)
     ray.shutdown()
     return result
 

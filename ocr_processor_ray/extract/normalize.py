@@ -30,6 +30,10 @@ _WS_RUN = re.compile(r"\s+")
 def _canonical(s: str) -> str:
     # newline policy first (CRLF/CR → LF), then NFC, then zero-width strip.
     s = s.replace("\r\n", "\n").replace("\r", "\n")
+    if s.isascii():
+        # NFC is the identity on ASCII and the strip table only touches
+        # code points > 0x7F — exact same result, ~20% faster kernel
+        return s
     s = unicodedata.normalize("NFC", s)
     return s.translate(_ZW_TABLE)
 

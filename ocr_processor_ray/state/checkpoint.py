@@ -68,7 +68,15 @@ def run_checkpointed(
     num_parts = cfg.num_output_partitions
     done = completed_partitions(out_dir)
 
-    ds = read_transcripts(in_path)
+    import ray.data as rd
+
+    from ocr_processor_ray.pipelines.extract_pipeline import EXTRACT_COLUMNS
+
+    nb = cfg.read_num_blocks if cfg.read_num_blocks is not None else num_parts
+    if nb:
+        ds = rd.read_parquet(in_path, columns=EXTRACT_COLUMNS, override_num_blocks=nb)
+    else:  # 0 → Ray's size-based splitting (the right call at real scale)
+        ds = read_transcripts(in_path)
     ds = ds.map_batches(
         functools.partial(add_partition_column, num_partitions=num_parts),
         batch_format="pyarrow",

@@ -85,3 +85,24 @@ class TestSniffStage:
         got = sniff_batch(transcripts_table)["payload_kind"].to_pylist()
         want = [sniff_kind(t) for t in transcripts_table["text"].to_pylist()]
         assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVisualMode:
+    def test_visual_matches_oracle(self, transcripts_small, transcripts_table):
+        from ocr_processor_ray.config import ExtractConfig
+        from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+        got = pa.Table.from_pandas(
+            run_extract(transcripts_small, ExtractConfig(mode="visual")).to_pandas(),
+            preserve_index=False,
+        )
+        want = oracle_extract_table(transcripts_table, mode="visual")
+        _assert_turn_equal(got, want)
+        # visual mode actually emits word spans somewhere
+        kinds = {
+            s["kind"]
+            for spans in got["spans"].to_pylist()[:500]
+            for s in spans
+        }
+        assert "word" in kinds
