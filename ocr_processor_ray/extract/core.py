@@ -41,6 +41,25 @@ Span = tuple[int, int, str]  # (start, end, kind) — offsets into clean_text
 
 PAGE_BREAK_BLOCK = ""  # an empty block renders as a blank line between pages
 
+# ------------------------------------------------------------------
+# U3 — pluggable extractor registry (the analog of the reference's one
+# real plugin API, the NotificationChannel ABC, notification_manager.py:37-49):
+# payload_kind → block extractor. Registering a new kind makes both the
+# oracle and every Ray stage pick it up, since they share this kernel.
+# A block extractor maps raw payload text → [(kind, normalized_text)].
+# ------------------------------------------------------------------
+
+_EXTRACTOR_REGISTRY: dict[str, "object"] = {}
+
+
+def register_extractor(kind: str, fn) -> None:
+    """Register/override the block extractor for a payload kind."""
+    _EXTRACTOR_REGISTRY[kind] = fn
+
+
+def get_extractor(kind: str):
+    return _EXTRACTOR_REGISTRY.get(kind)
+
 
 def _assemble(blocks: list[tuple[str, str]], emit_word_spans: bool) -> tuple[str, list[Span]]:
     """Join normalized block texts with LF, recording spans.
@@ -112,6 +131,25 @@ def _toolmark_blocks(text: str) -> list[tuple[str, str]]:
     return out
 
 
+# O18 analog — exception-message keywords → error category
+# (error_handler.py:305-325 classifies by message keywords the same way)
+_ERROR_CATEGORIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("oversize", ("max_payload_bytes",)),
+    ("suspicious_content", ("nul byte",)),
+    ("bad_header", ("header", "version")),
+    ("bad_record", ("coordinates", "truncated", "record")),
+    ("malformed_markup", ("toolmark", "bbox", "attrs")),
+)
+
+
+def classify_error(message: str) -> str:
+    low = message.lower()
+    for category, needles in _ERROR_CATEGORIES:
+        if any(n in low for n in needles):
+            return category
+    return "parse_error"
+
+
 def extract_turn(
     text: str,
     mode: str = "cli",
@@ -120,21 +158,23 @@ def extract_turn(
     """Extract one turn's main content.
 
     Returns ``{"payload_kind", "clean_text", "spans", "status",
-    "bytes_in", "bytes_out"}`` with spans as (start, end, kind) tuples.
-    Never raises on malformed payloads — they classify as
-    ``parse_failure`` with empty output.
+    "status_detail", "bytes_in", "bytes_out"}`` with spans as
+    (start, end, kind) tuples. Never raises on malformed payloads —
+    they classify as ``parse_failure`` with an O18-style
+    ``status_detail`` of ``"category: message"``.
     """
     bytes_in = len(text.encode("utf-8"))
     kind = sniff_kind(text)
     emit_words = mode == "visual"
     skip_if_clean = mode != "force"
 
-    def result(clean: str, spans: list[Span], status: str) -> dict:
+    def result(clean: str, spans: list[Span], status: str, detail: str = "") -> dict:
         return {
             "payload_kind": kind,
             "clean_text": clean,
             "spans": spans,
             "status": status,
+            "status_detail": detail,
             "bytes_in": bytes_in,
             "bytes_out": len(clean.encode("utf-8")),
         }
@@ -153,21 +193,20 @@ def extract_turn(
                 return result(text, [], STATUS_SKIPPED)
             clean = normalize_text(text)
             spans = [(0, len(clean), "text")] if clean else []
-            if emit_words:
-                # force+visual is not a reachable mode pair; keep spans stable
-                pass
             return result(clean, spans, STATUS_EXTRACTED)
 
-        if kind == KIND_HTML:
-            blocks = _html_blocks(text)
-        elif kind == KIND_PDFSTREAM:
-            blocks = _pdfstream_blocks(text)
-        elif kind == KIND_TOOLMARK:
-            blocks = _toolmark_blocks(text)
-        else:  # pragma: no cover — sniff_kind is total
-            raise ParseError(f"unknown payload kind {kind!r}")
-
+        extractor = get_extractor(kind)
+        if extractor is None:  # pragma: no cover — registry covers all kinds
+            raise ParseError(f"no extractor registered for kind {kind!r}")
+        blocks = extractor(text)
         clean, spans = _assemble(blocks, emit_words)
         return result(clean, spans, STATUS_EXTRACTED)
-    except ParseError:
-        return result("", [], STATUS_FAILED)
+    except ParseError as exc:
+        msg = str(exc)
+        return result("", [], STATUS_FAILED, f"{classify_error(msg)}: {msg}")
+
+
+# default registry: the built-in payload kinds
+register_extractor(KIND_HTML, _html_blocks)
+register_extractor(KIND_PDFSTREAM, _pdfstream_blocks)
+register_extractor(KIND_TOOLMARK, _toolmark_blocks)

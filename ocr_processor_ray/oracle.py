@@ -24,7 +24,7 @@ def oracle_extract_table(table: pa.Table, mode: str = "cli") -> pa.Table:
     roles = table["role"].to_pylist()
     texts = table["text"].to_pylist()
 
-    kinds, cleans, spans_col, statuses, b_in, b_out = [], [], [], [], [], []
+    kinds, cleans, spans_col, statuses, details, b_in, b_out = [], [], [], [], [], [], []
     for text in texts:
         r = extract_turn(text, mode=mode)
         kinds.append(r["payload_kind"])
@@ -33,6 +33,7 @@ def oracle_extract_table(table: pa.Table, mode: str = "cli") -> pa.Table:
             [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]]
         )
         statuses.append(r["status"])
+        details.append(r["status_detail"])
         b_in.append(r["bytes_in"])
         b_out.append(r["bytes_out"])
 
@@ -45,6 +46,7 @@ def oracle_extract_table(table: pa.Table, mode: str = "cli") -> pa.Table:
             "clean_text": pa.array(cleans, pa.string()),
             "spans": pa.array(spans_col, EXTRACTED_SCHEMA.field("spans").type),
             "status": pa.array(statuses, pa.string()),
+            "status_detail": pa.array(details, pa.string()),
             "bytes_in": pa.array(b_in, pa.int64()),
             "bytes_out": pa.array(b_out, pa.int64()),
         }

@@ -57,6 +57,7 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("clean_text", pa.string()),
         pa.field("spans", SPAN_TYPE),
         pa.field("status", pa.string()),
+        pa.field("status_detail", pa.string()),
         pa.field("bytes_in", pa.int64()),
         pa.field("bytes_out", pa.int64()),
     ]

@@ -39,6 +39,7 @@ def extract_batch(batch: pa.Table, mode: str = "cli",
     cleans: list[str] = [""] * n
     spans_col: list[list[dict]] = [[]] * n
     statuses: list[str] = [""] * n
+    details: list[str] = [""] * n
     b_in = [0] * n
     b_out = [0] * n
     for i, text in enumerate(texts):
@@ -47,6 +48,7 @@ def extract_batch(batch: pa.Table, mode: str = "cli",
         cleans[i] = r["clean_text"]
         spans_col[i] = [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]]
         statuses[i] = r["status"]
+        details[i] = r["status_detail"]
         b_in[i] = r["bytes_in"]
         b_out[i] = r["bytes_out"]
 
@@ -58,6 +60,7 @@ def extract_batch(batch: pa.Table, mode: str = "cli",
         "clean_text": pa.array(cleans, pa.string()),
         "spans": pa.array(spans_col, _SPANS_TYPE),
         "status": pa.array(statuses, pa.string()),
+        "status_detail": pa.array(details, pa.string()),
         "bytes_in": pa.array(b_in, pa.int64()),
         "bytes_out": pa.array(b_out, pa.int64()),
     }

@@ -108,9 +108,12 @@ def run_checkpointed(
             bucket = total.setdefault(
                 status, {"turns": 0, "bytes_in": 0, "bytes_out": 0}
             )
-            for k in bucket:
+            for k in ("turns", "bytes_in", "bytes_out"):
                 bucket[k] += c[k]
                 grand[k] += c[k]
+            for cat, n in c.get("categories", {}).items():
+                cats = bucket.setdefault("categories", {})
+                cats[cat] = cats.get(cat, 0) + n
     total["_total"] = grand
 
     summary = {

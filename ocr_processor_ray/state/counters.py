@@ -61,7 +61,9 @@ def fold_counters(extracted: Dataset) -> dict:
 
 def counters_from_table(table: pa.Table) -> dict:
     """Same fold over an in-memory partition table (used by the
-    checkpoint writer to stamp manifests)."""
+    checkpoint writer to stamp manifests). When the table carries
+    ``status_detail``, failed rows also get an O18-category breakdown
+    (``"parse_failure"`` → ``{"categories": {"bad_record": n, ...}}``)."""
     part = partial_counters(table)
     out: dict = {}
     for i in range(part.num_rows):
@@ -70,4 +72,20 @@ def counters_from_table(table: pa.Table) -> dict:
             "bytes_in": part["bytes_in"][i].as_py(),
             "bytes_out": part["bytes_out"][i].as_py(),
         }
+    if "status_detail" in table.column_names and "parse_failure" in out:
+        failed = table.filter(pc.equal(table["status"], "parse_failure"))
+        cats = pc.replace_substring_regex(
+            failed["status_detail"], pattern=":.*$", replacement=""
+        )
+        counts = pa.table({"category": cats}).group_by("category").aggregate(
+            [("category", "count")]
+        )
+        out["parse_failure"]["categories"] = dict(
+            sorted(
+                zip(
+                    counts["category"].to_pylist(),
+                    counts["category_count"].to_pylist(),
+                )
+            )
+        )
     return out

@@ -171,3 +171,40 @@ class TestExtractTurn:
         r = extract_turn("שלום")  # plain, skipped; 4 chars, 8 utf-8 bytes
         assert r["bytes_in"] == 8
         assert r["bytes_out"] == 8
+
+
+class TestErrorTaxonomyAndRegistry:
+    def test_status_detail_categories(self):
+        from ocr_processor_ray.extract.core import extract_turn
+
+        cases = [
+            ("%PDF-SIMx\nR 1 1 1 v", "bad_header"),
+            ("%PDF-SIM 1.4\nR 1 a 1 v", "bad_record"),
+            ('<tool name="t"><w p="1" b="1 2 3">x</w></tool>', "malformed_markup"),
+            ("with \x00 nul", "suspicious_content"),
+        ]
+        for payload, category in cases:
+            r = extract_turn(payload)
+            assert r["status"] == "parse_failure"
+            assert r["status_detail"].startswith(category + ":"), (payload, r["status_detail"])
+        assert extract_turn("clean")["status_detail"] == ""
+
+    def test_oversize_category(self):
+        from ocr_processor_ray.extract.core import extract_turn
+
+        r = extract_turn("x" * 100, max_payload_bytes=10)
+        assert r["status_detail"].startswith("oversize:")
+
+    def test_register_custom_extractor(self):
+        from ocr_processor_ray.extract import core
+
+        # plug a custom kind by overriding the html slot, then restore
+        orig = core.get_extractor("html")
+        try:
+            core.register_extractor("html", lambda text: [("custom", "CUSTOM")])
+            r = core.extract_turn("<div>anything</div>")
+            assert r["clean_text"] == "CUSTOM"
+            assert r["spans"] == [(0, 6, "custom")]
+        finally:
+            core.register_extractor("html", orig)
+        assert core.extract_turn("<div><p>back to normal text</p></div>")["clean_text"] != "CUSTOM"
