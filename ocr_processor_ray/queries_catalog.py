@@ -437,6 +437,66 @@ def q_supplier_acctbal_by_nation(sf_dir: str):
     return _descale(agg, "sum_acctbal", 100)
 
 
+def q_events_sliding_1h(sf_dir: str):
+    """Sliding-window aggregate: per event, how many events the same user
+    produced in the preceding hour (inclusive of self). Two-pointer sweep
+    over the ts-sorted group — the map_groups window pattern; oracle is a
+    RANGE window frame."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        lo = np.searchsorted(ts, ts - 3600_000000, side="left")
+        n = np.arange(1, len(ts) + 1) - lo
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "n_prev_hour": n.astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sweep, batch_format="pandas")
+
+
+def q_building_segment_revenue(sf_dir: str):
+    """Semi-join: lineitems of BUILDING-segment customers' orders —
+    broadcast the qualifying orderkey set (J4-style key-set broadcast)
+    and filter inside map_batches; no shuffle."""
+    import duckdb as _d  # noqa: F401  (documentation only)
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    keep = orders.filter(
+        pc.is_in(orders["o_custkey"], value_set=cust["c_custkey"].combine_chunks())
+    )["o_orderkey"]
+    keys_ref = ray.put(keep.combine_chunks())
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        b = b.filter(pc.is_in(b["l_orderkey"], value_set=keys))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {"rev_c": pc.cast(pc.round(pc.multiply(rev, 10000)), pa.int64())}
+        )
+
+    filtered = li.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+    total = filtered.sum("rev_c")
+    n = filtered.count()
+    return pa.table(
+        {
+            "n_lineitems": pa.array([n], pa.int64()),
+            "revenue": pa.array([(total or 0) / 10000.0], pa.float64()),
+        }
+    )
+
+
 def q_events_asof_purchase(sf_dir: str):
     """As-of join: for each 'error' event, the user's latest prior
     'purchase' event (bucket-partitioned merge_asof — the custom
@@ -764,6 +824,8 @@ QUERIES = {
     "suppliers_by_region": q_suppliers_by_region,
     "events_last_week": q_events_last_week,
     "events_running_sum": q_events_running_sum,
+    "events_sliding_1h": q_events_sliding_1h,
+    "building_segment_revenue": q_building_segment_revenue,
     "events_asof_purchase": q_events_asof_purchase,
     "distinct_event_types": q_distinct_event_types,
     "events_daily_users": q_events_daily_users,
@@ -960,6 +1022,22 @@ ORACLE_SQL = {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS running_c
         FROM events
+    """,
+    "events_sliding_1h": """
+        SELECT event_id,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_prev_hour
+        FROM events
+    """,
+    "building_segment_revenue": """
+        SELECT count(*) AS n_lineitems,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING')
     """,
     "events_asof_purchase": """
         SELECT l.event_id, l.user_id,
