@@ -48,10 +48,16 @@ BENCH_QUERIES = [
     "events_top_users",
     "user_sessions",
     "q1_pricing",
+    "lineitem_q6",
     "top_orders_revenue",
     "revenue_by_nation",
     "orders_by_status_priority",
     "supplier_acctbal_by_nation",
+    "doc_security_scan",
+    "events_sliding_1h",
+    "events_asof_purchase",
+    "events_daily_users",
+    "building_segment_revenue",
 ]
 
 

@@ -130,14 +130,31 @@ def minhash_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs from one LSH bucket (caps quadratic blowup at 50)."""
-    ids = sorted(group["doc_id"].to_pylist())[:50]
+MAX_BUCKET_MEMBERS = 50  # caps quadratic candidate blowup per bucket
+
+
+def _band_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs from ONE BAND's rows: bucket by band_key in-task
+    (a dict), emit pairs per bucket. Grouping by band (8 groups) instead
+    of by (band, band_key) (tens of thousands of tiny groups) avoids the
+    sort-shuffle's per-group overhead; identical candidate set. At
+    extreme scale (a band's rows exceeding one worker) fall back to
+    ``groupby(["band", "band_key"])`` — stated here, SURVEY §4.2.
+    """
+    keys = group["band_key"].to_pylist()
+    ids = group["doc_id"].to_pylist()
+    buckets: dict[int, list[int]] = {}
+    for k, d in zip(keys, ids):
+        buckets.setdefault(k, []).append(d)
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members)[:MAX_BUCKET_MEMBERS]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a.append(members[i])
+                b.append(members[j])
     return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
 
@@ -169,11 +186,12 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = bands.groupby(["band", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
+    pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pyarrow")
     # drop duplicate candidate pairs produced by multiple agreeing bands
-    pairs = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    # (arrow two-phase: pair count fits one combine worker by construction)
+    from ocr_processor_ray.functions.agg import two_phase_agg
+
+    pairs = two_phase_agg(pairs, ["id_a", "id_b"], [("id_a", "count", "n_bands")])
 
     # one execution for the lookup map: zipping columns from two separate
     # executions would pair ids with texts from different block orders
@@ -250,18 +268,28 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group[id_col].to_pylist(), group["simhash"].to_pylist()))[:200]
+    def quarter_verify(group: pa.Table) -> pa.Table:
+        """One quarter's rows: bucket by qkey in-task, verify Hamming per
+        bucket (same coarse-group rationale as _band_pairs)."""
+        buckets: dict[int, list[tuple[int, int]]] = {}
+        for k, did, sh in zip(
+            group["qkey"].to_pylist(), group[id_col].to_pylist(), group["simhash"].to_pylist()
+        ):
+            buckets.setdefault(k, []).append((did, sh))
         a, b, d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                dist = bin((rows[i][1] + (1 << 63)) ^ (rows[j][1] + (1 << 63))).count("1")
-                if dist <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    d.append(dist)
+        for rows in buckets.values():
+            if len(rows) < 2:
+                continue
+            rows = sorted(rows)[:200]
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if rows[i][0] == rows[j][0]:
+                        continue
+                    dist = bin((rows[i][1] + (1 << 63)) ^ (rows[j][1] + (1 << 63))).count("1")
+                    if dist <= max_hamming:
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        d.append(dist)
         return pa.table(
             {
                 "id_a": pa.array(a, pa.int64()),
@@ -271,6 +299,8 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
         )
 
     exploded = hashed.map_batches(explode_quarters, batch_format="pyarrow")
-    pairs = exploded.groupby(["q", "qkey"]).map_groups(bucket_verify, batch_format="pyarrow")
-    # a pair can match in several quarters — dedup
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    pairs = exploded.groupby("q").map_groups(quarter_verify, batch_format="pyarrow")
+    # a pair can match in several quarters — dedup (two-phase arrow agg)
+    from ocr_processor_ray.functions.agg import two_phase_agg
+
+    return two_phase_agg(pairs, ["id_a", "id_b"], [("hamming", "min", "hamming")])
