@@ -859,6 +859,25 @@ ORACLE_SQL = {
         SELECT source, count(*) AS n_docs FROM documents
         GROUP BY source ORDER BY n_docs DESC, source ASC LIMIT 5
     """,
+    "lang_id": """
+WITH c AS (
+  SELECT doc_id, lang,
+  len(regexp_extract_all(lower(text), '\\b(a|and|are|as|at|be|by|for|in|is|it|of|on|that|the|this|to|was|with)\\b')) AS c_en,
+  len(regexp_extract_all(lower(text), '\\b(auf|das|den|der|die|ein|eine|für|im|ist|mit|nicht|sich|und|von|zu)\\b')) AS c_de,
+  len(regexp_extract_all(lower(text), '\\b(dans|de|des|du|en|est|et|la|le|les|pas|pour|que|qui|sur|un|une)\\b')) AS c_fr,
+  len(regexp_extract_all(lower(text), '\\b(con|de|del|el|en|es|la|las|los|no|para|por|que|se|un|una|y)\\b')) AS c_es
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+    WHEN c_fr >= c_es THEN 'fr'
+    ELSE 'es'
+  END AS lang_pred
+FROM c
+""",
     "dedup_exact": """
         SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n
         FROM documents GROUP BY md5(text)
