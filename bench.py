@@ -171,6 +171,15 @@ def run_bench() -> dict:
     if ckpt_sec is not None:
         result["checkpointed_sec"] = round(ckpt_sec, 3)
         result["checkpointed_turns_per_sec"] = round(turns / ckpt_sec, 1)
+
+        # conversation assembly (extract → salted groupby(conv) → docs)
+        from ocr_processor_ray.pipelines.conversations import assemble_conversations
+
+        conv_cfg = ExtractConfig(read_num_blocks=len(paths))
+        t0 = time.perf_counter()
+        n_convs = assemble_conversations(run_extract(paths, conv_cfg), conv_cfg).count()
+        result["conversations_sec"] = round(time.perf_counter() - t0, 3)
+        result["n_conversations"] = n_convs
     ray.shutdown()
     return result
 

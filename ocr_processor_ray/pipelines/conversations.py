@@ -49,43 +49,102 @@ def _format_turn(role: str, clean: str) -> str:
     return f"[{role}] {clean}"
 
 
-def _assemble_split(group: pa.Table) -> pa.Table:
-    """One salted split → one summary row with its assembled doc fragment."""
-    group = group.sort_by([("turn_idx", "ascending")])
-    salt_key = group["salt_key"][0].as_py()
-    conv_id = group["conv_id"][0].as_py()
+def _add_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    """Coarse shuffle bucket = crc32(key) % B: all rows of one key land in
+    one bucket, so per-key work can happen in-task. Grouping by the raw
+    key instead (one Ray group per salt_key/conv_id — tens of thousands
+    of tiny groups) triples wall time on the sort-based shuffle."""
+    import zlib
+
+    vals = batch[key].to_pylist()
+    cache: dict[str, int] = {}
+    out = [0] * len(vals)
+    for i, v in enumerate(vals):
+        b = cache.get(v)
+        if b is None:
+            b = cache[v] = zlib.crc32(v.encode("utf-8")) % num_buckets
+        out[i] = b
+    return batch.append_column("_bucket", pa.array(out, pa.int32()))
+
+
+def _assemble_bucket(group: pa.Table) -> pa.Table:
+    """All salted splits of one bucket → one summary row per split."""
+    group = group.sort_by([("salt_key", "ascending"), ("turn_idx", "ascending")])
+    keys = group["salt_key"].to_pylist()
+    convs = group["conv_id"].to_pylist()
     roles = group["role"].to_pylist()
     cleans = group["clean_text"].to_pylist()
     statuses = group["status"].to_pylist()
-    parts = [
-        _format_turn(r, c)
-        for r, c, s in zip(roles, cleans, statuses)
-        if s != STATUS_FAILED
-    ]
-    doc = TURN_SEP.join(parts)
+
+    o_conv, o_key, o_turns, o_failed, o_skipped, o_doc = [], [], [], [], [], []
+    i, n = 0, len(keys)
+    while i < n:
+        j = i
+        parts: list[str] = []
+        failed = skipped = 0
+        while j < n and keys[j] == keys[i]:
+            if statuses[j] == STATUS_FAILED:
+                failed += 1
+            else:
+                parts.append(_format_turn(roles[j], cleans[j]))
+            if statuses[j] == STATUS_SKIPPED:
+                skipped += 1
+            j += 1
+        o_conv.append(convs[i])
+        o_key.append(keys[i])
+        o_turns.append(j - i)
+        o_failed.append(failed)
+        o_skipped.append(skipped)
+        o_doc.append(TURN_SEP.join(parts))
+        i = j
     return pa.table(
         {
-            "conv_id": pa.array([conv_id], pa.string()),
-            "salt_key": pa.array([salt_key], pa.string()),
-            "n_turns": pa.array([group.num_rows], pa.int64()),
-            "n_failed": pa.array([statuses.count(STATUS_FAILED)], pa.int64()),
-            "n_skipped": pa.array([statuses.count(STATUS_SKIPPED)], pa.int64()),
-            "doc": pa.array([doc], pa.string()),
+            "conv_id": pa.array(o_conv, pa.string()),
+            "salt_key": pa.array(o_key, pa.string()),
+            "n_turns": pa.array(o_turns, pa.int64()),
+            "n_failed": pa.array(o_failed, pa.int64()),
+            "n_skipped": pa.array(o_skipped, pa.int64()),
+            "doc": pa.array(o_doc, pa.string()),
         }
     )
 
 
-def _merge_splits(group: pa.Table) -> pa.Table:
-    """Merge a conversation's split rows in salt order (zero-padded key)."""
-    group = group.sort_by([("salt_key", "ascending")])
-    docs = [d for d in group["doc"].to_pylist() if d]
+def _merge_bucket(group: pa.Table) -> pa.Table:
+    """All conversations of one bucket → one row per conversation,
+    splits concatenated in salt order (zero-padded key sorts correctly)."""
+    group = group.sort_by([("conv_id", "ascending"), ("salt_key", "ascending")])
+    convs = group["conv_id"].to_pylist()
+    turns = group["n_turns"].to_pylist()
+    failed = group["n_failed"].to_pylist()
+    skipped = group["n_skipped"].to_pylist()
+    docs = group["doc"].to_pylist()
+
+    o_conv, o_turns, o_failed, o_skipped, o_doc = [], [], [], [], []
+    i, n = 0, len(convs)
+    while i < n:
+        j = i
+        parts: list[str] = []
+        t = f = s = 0
+        while j < n and convs[j] == convs[i]:
+            t += turns[j]
+            f += failed[j]
+            s += skipped[j]
+            if docs[j]:
+                parts.append(docs[j])
+            j += 1
+        o_conv.append(convs[i])
+        o_turns.append(t)
+        o_failed.append(f)
+        o_skipped.append(s)
+        o_doc.append(TURN_SEP.join(parts))
+        i = j
     return pa.table(
         {
-            "conv_id": pa.array([group["conv_id"][0].as_py()], pa.string()),
-            "n_turns": pa.array([pc.sum(group["n_turns"]).as_py()], pa.int64()),
-            "n_failed": pa.array([pc.sum(group["n_failed"]).as_py()], pa.int64()),
-            "n_skipped": pa.array([pc.sum(group["n_skipped"]).as_py()], pa.int64()),
-            "doc": pa.array([TURN_SEP.join(docs)], pa.string()),
+            "conv_id": pa.array(o_conv, pa.string()),
+            "n_turns": pa.array(o_turns, pa.int64()),
+            "n_failed": pa.array(o_failed, pa.int64()),
+            "n_skipped": pa.array(o_skipped, pa.int64()),
+            "doc": pa.array(o_doc, pa.string()),
         }
     )
 
@@ -96,13 +155,28 @@ def assemble_conversations(extracted: Dataset, cfg: ExtractConfig | None = None)
     Output schema: ``conv_id, n_turns, n_failed, n_skipped, doc, doc_chars``.
     """
     cfg = cfg or ExtractConfig()
+    num_buckets = max(16, cfg.num_output_partitions)
     ds = extracted.map_batches(
-        lambda t: add_salt_key(t, cfg.salt_turn_threshold),
+        # project to the columns assembly consumes BEFORE the shuffle —
+        # spans/status_detail/byte counters are dead weight in the exchange
+        lambda t: _add_bucket(
+            add_salt_key(
+                t.select(["conv_id", "turn_idx", "role", "clean_text", "status"]),
+                cfg.salt_turn_threshold,
+            ),
+            "salt_key",
+            num_buckets,
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    splits = ds.groupby("salt_key").map_groups(_assemble_split, batch_format="pyarrow")
-    convs = splits.groupby("conv_id").map_groups(_merge_splits, batch_format="pyarrow")
+    splits = ds.groupby("_bucket").map_groups(_assemble_bucket, batch_format="pyarrow")
+    splits = splits.map_batches(
+        lambda t: _add_bucket(t, "conv_id", num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    convs = splits.groupby("_bucket").map_groups(_merge_bucket, batch_format="pyarrow")
     return convs.map_batches(
         lambda t: t.append_column(
             "doc_chars", pc.cast(pc.utf8_length(t["doc"]), pa.int64())

@@ -29,8 +29,21 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 EXTRACT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
 
 
-def read_transcripts(path: str | list[str], columns: list[str] | None = None) -> Dataset:
-    """Column-pruned Parquet read of a transcripts table."""
+def read_transcripts(
+    path: str | list[str],
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """Column-pruned Parquet read of a transcripts table.
+
+    ``num_blocks`` caps the read fan-out: Ray's parallelism heuristic
+    over-splits small corpora into hundreds of tiny blocks and every
+    downstream all-to-all pays coordination overhead per block. Leave
+    None at real scale (size-based splitting)."""
+    if num_blocks:
+        return rd.read_parquet(
+            path, columns=columns or EXTRACT_COLUMNS, override_num_blocks=num_blocks
+        )
     return rd.read_parquet(path, columns=columns or EXTRACT_COLUMNS)
 
 
@@ -73,7 +86,8 @@ def run_extract(
     For checkpointed/resumable output use
     ``ocr_processor_ray.state.checkpoint.run_checkpointed`` instead.
     """
-    ds = extract_turns(read_transcripts(in_path), cfg)
+    nb = cfg.read_num_blocks if cfg is not None else None
+    ds = extract_turns(read_transcripts(in_path, num_blocks=nb), cfg)
     if out_dir is not None:
         ds.write_parquet(out_dir)
     return ds

@@ -735,7 +735,7 @@ def q_conversation_docs(sf_dir: str):
     from ocr_processor_ray.pipelines.conversations import assemble_conversations
     from ocr_processor_ray.pipelines.extract_pipeline import run_extract
 
-    cfg = ExtractConfig(salt_turn_threshold=256)
+    cfg = ExtractConfig(salt_turn_threshold=256, read_num_blocks=16)
     return assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
 
 
