@@ -497,6 +497,28 @@ def q_building_segment_revenue(sf_dir: str):
     )
 
 
+def q_events_value_median(sf_dir: str):
+    """Exact distributed median on scaled ints: per-batch projection →
+    one combine task (values fit a worker: 8 B × rows). Interpolated
+    middle of int64s is exact float both engines."""
+    ds = _read(sf_dir, "events", ["value"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {"value_c": pc.cast(pc.round(pc.multiply(b["value"], 100)), pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def median_task(t: pa.Table) -> pa.Table:
+        med = float(np.median(t["value_c"].to_numpy())) / 100.0
+        return pa.table({"median_value": pa.array([med], pa.float64())})
+
+    return ds.repartition(1).map_batches(
+        median_task, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_events_asof_purchase(sf_dir: str):
     """As-of join: for each 'error' event, the user's latest prior
     'purchase' event (bucket-partitioned merge_asof — the custom
@@ -826,6 +848,7 @@ QUERIES = {
     "events_running_sum": q_events_running_sum,
     "events_sliding_1h": q_events_sliding_1h,
     "building_segment_revenue": q_building_segment_revenue,
+    "events_value_median": q_events_value_median,
     "events_asof_purchase": q_events_asof_purchase,
     "distinct_event_types": q_distinct_event_types,
     "events_daily_users": q_events_daily_users,
@@ -1057,6 +1080,10 @@ FROM c
         WHERE l_orderkey IN (
             SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING')
+    """,
+    "events_value_median": """
+        SELECT median(CAST(round(value * 100) AS BIGINT)) / 100.0 AS median_value
+        FROM events
     """,
     "events_asof_purchase": """
         SELECT l.event_id, l.user_id,
