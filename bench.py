@@ -30,7 +30,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_SEED = 42
 BENCH_CONVS = int(os.environ.get("OPR_BENCH_CONVS", "10000"))
-SYNTH_VERSION = 1  # bump when sources/synth.py output changes, to bust /tmp caches
+from ocr_processor_ray.sources.synth import SYNTH_VERSION  # busts /tmp caches on change
 CORPUS_DIR = f"/tmp/opr_bench_corpus_v{SYNTH_VERSION}_{BENCH_SEED}_{BENCH_CONVS}"
 
 # catalog queries timed per run (SQL-oracle subset + representative extras)

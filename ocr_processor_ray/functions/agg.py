@@ -8,10 +8,16 @@ the classic two-phase plan is far cheaper:
     map_batches:  pyarrow Table.group_by per batch   (C++ hash agg)
     repartition(1) → one combine task: group_by again over the partials
 
-Exchange volume = the partial rows only. Use this when
-``#groups × row_width`` fits one worker's heap (hundreds of MB);
-for group counts beyond that, fall back to ``groupby().aggregate()``
-(it partitions the key space) — stated per call site.
+Exchange volume = the partial rows only. The single-combine plan is
+valid while the partial rows fit one worker's heap; ``two_phase_agg``
+MEASURES the partial row count after phase 1 (the partials are
+materialized either way — they are the exchange payload) and routes
+automatically: ≤ ``max_combine_rows`` → one combine task; beyond that
+→ Ray's key-partitioned ``groupby().aggregate()`` over the partials,
+which shards the key space across workers instead of funnelling it
+through one. High-cardinality aggregates (e.g. exact dedup, where
+#groups ≈ #distinct docs) therefore never OOM the combine worker at
+100 TB — they just take the shuffle.
 
 Supported aggs mirror the catalog's needs: sum / count / min / max.
 """
@@ -24,11 +30,16 @@ from ray.data import Dataset
 # (agg_name, merge_fn_for_phase2)
 _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
+# partial-row threshold for the one-task combine: 5M rows × ~50 B/row
+# ≈ 250 MB — comfortably one worker's heap, far below it in practice.
+DEFAULT_MAX_COMBINE_ROWS = 5_000_000
+
 
 def two_phase_agg(
     ds: Dataset,
     keys: list[str],
     aggs: list[tuple[str, str, str]],
+    max_combine_rows: int = DEFAULT_MAX_COMBINE_ROWS,
 ) -> Dataset:
     """``aggs`` = [(col, fn, out_name)] with fn ∈ {sum, count, min, max}.
 
@@ -44,22 +55,54 @@ def two_phase_agg(
     phase2 = [(n, _MERGE[fn]) for n, (_, fn, _) in zip(p1_names, aggs)]
     p2_names = [f"{n}_{_MERGE[fn]}" for n, (_, fn, _) in zip(p1_names, aggs)]
     out_names = [out for _, _, out in aggs]
+    # cast to int64 only for true row-count aggs (a user column merely
+    # *named* '...count...' must keep its own type)
+    count_outs = {out for _, fn, out in aggs if fn == "count"}
 
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by(keys).aggregate(phase1)
 
-    def combine(batch: pa.Table) -> pa.Table:
-        out = batch.group_by(keys).aggregate(phase2)
+    def _finalize(out: pa.Table, src_names: list[str]) -> pa.Table:
         cols = {k: out[k] for k in keys}
-        for p2, name in zip(p2_names, out_names):
-            col = out[p2]
-            if name.endswith("_count") or "count" in p2:
-                col = col.cast(pa.int64()) if col.type != pa.int64() else col
+        for src, name in zip(src_names, out_names):
+            col = out[src]
+            if name in count_outs and col.type != pa.int64():
+                col = col.cast(pa.int64())
             cols[name] = col
         return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    # one combine task over all partials (result fits one worker by contract)
-    return partials.repartition(1).map_batches(
-        combine, batch_format="pyarrow", batch_size=None
-    )
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    if partials.count() <= max_combine_rows:
+
+        def combine(batch: pa.Table) -> pa.Table:
+            return _finalize(batch.group_by(keys).aggregate(phase2), p2_names)
+
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
+
+    # partitioned fallback: merge partials with Ray's key-sharded aggregate
+    from ray.data.aggregate import Max, Min, Sum
+
+    _CLS = {"sum": Sum, "min": Min, "max": Max}
+    agg_objs = [
+        _CLS[_MERGE[fn]](p1, alias_name=out)
+        for p1, (_, fn, out) in zip(p1_names, aggs)
+    ]
+    merged = partials.groupby(keys).aggregate(*agg_objs)
+    if not count_outs:
+        return merged
+
+    def cast_counts(batch: pa.Table) -> pa.Table:
+        for name in count_outs:
+            i = batch.schema.get_field_index(name)
+            if batch.column(i).type != pa.int64():
+                batch = batch.set_column(
+                    i, name, batch.column(i).cast(pa.int64())
+                )
+        return batch
+
+    return merged.map_batches(cast_counts, batch_format="pyarrow")

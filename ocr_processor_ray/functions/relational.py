@@ -76,18 +76,31 @@ def hash_join(
     return bucketed_join(left, right, on=on, num_buckets=num_partitions)
 
 
+def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int):
+    """Vectorized, process-stable ``hash(key) % B`` for int OR string keys.
+
+    Integer keys bucket by value; other types go through
+    ``pd.util.hash_array`` (cython siphash with a fixed hash key —
+    deterministic across workers and sessions)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(col.type):
+        keys = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        return (keys % num_buckets).astype(np.int32)
+    vals = np.asarray(col.to_pandas(), dtype=object)
+    return (pd.util.hash_array(vals) % num_buckets).astype(np.int32)
+
+
 def _tagged_bucket_union(left: Dataset, right: Dataset, on: str, num_buckets: int):
     """Tag each side, bucket by ``hash(key) % B``, pad to a common schema
     and union — the explicit partitioned-exchange prelude shared by the
-    bucketed hash join and the as-of join. Returns (unioned, l_cols, r_cols)."""
+    bucketed hash join and the as-of join.
+    Returns (unioned, l_cols, r_cols, l_types, r_types)."""
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            import numpy as np
-            import pyarrow.compute as pc
-
-            keys = pc.cast(batch[on], pa.int64()).to_numpy(zero_copy_only=False)
-            bucket = (keys % num_buckets).astype(np.int32)
+            bucket = _bucket_of(batch[on], num_buckets)
             return batch.append_column("_bucket", pa.array(bucket)).append_column(
                 "_side", pa.array([side] * batch.num_rows, pa.int8())
             )
@@ -115,7 +128,33 @@ def _tagged_bucket_union(left: Dataset, right: Dataset, on: str, num_buckets: in
     ordered_cols = list(all_types)
     l_padded = l_padded.map_batches(lambda t: t.select(ordered_cols), batch_format="pyarrow")
     r_padded = r_padded.map_batches(lambda t: t.select(ordered_cols), batch_format="pyarrow")
-    return l_padded.union(r_padded), list(left.schema().names), list(right.schema().names)
+    l_types = {c: l_schema[c] for c in l_schema if c not in ("_bucket", "_side")}
+    r_types = {c: r_schema[c] for c in r_schema if c not in ("_bucket", "_side")}
+    return l_padded.union(r_padded), list(l_types), list(r_types), l_types, r_types
+
+
+def _restore_schema(expected: dict[str, "pa.DataType"]):
+    """Post-merge normalizer: the null-padded union + pandas merge coerce
+    int64-with-nulls to float64 and can emit empty/short-schema blocks.
+    Re-impose the recorded Arrow dtypes and column order on every block
+    (nulls survive the float→int cast; see ADVICE round 1)."""
+    import pyarrow.compute as pc
+
+    names = list(expected)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in names:
+            if name in batch.column_names:
+                col = batch[name]
+                if col.type != expected[name]:
+                    col = pc.cast(col, expected[name])
+            else:
+                col = pa.nulls(batch.num_rows, expected[name])
+            cols[name] = col
+        return pa.table(cols)
+
+    return fn
 
 
 def bucketed_join(
@@ -128,16 +167,27 @@ def bucketed_join(
     """Partitioned hash join of two large Datasets on an int64 key.
 
     Exchange volume = both inputs exactly once, keyed by
-    ``key % num_buckets``.
+    ``hash(key) % num_buckets`` (int or string keys).
     """
-    both, l_cols, r_cols = _tagged_bucket_union(left, right, on, num_buckets)
+    both, l_cols, r_cols, l_types, r_types = _tagged_bucket_union(
+        left, right, on, num_buckets
+    )
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["_side"] == 0][l_cols]
         rhs = group[group["_side"] == 1][r_cols]
         return lhs.merge(rhs, on=on, how="inner", suffixes=("", suffix_right))
 
-    return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+    expected = dict(l_types)
+    for c in r_cols:
+        if c == on:
+            continue
+        expected[c + suffix_right if c in l_types else c] = r_types[c]
+    return (
+        both.groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .map_batches(_restore_schema(expected), batch_format="pyarrow")
+    )
 
 
 def asof_join(
@@ -156,7 +206,9 @@ def asof_join(
     the ts-sorted bucket. Partitioning assumption: one key's rows all
     land in one bucket; skewed keys bound bucket size by B choice.
     """
-    both, l_cols, r_cols = _tagged_bucket_union(left, right, key, num_buckets)
+    both, l_cols, r_cols, l_types, r_types = _tagged_bucket_union(
+        left, right, key, num_buckets
+    )
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["_side"] == 0][l_cols].sort_values(ts, kind="mergesort")
@@ -166,4 +218,13 @@ def asof_join(
             suffixes=("", suffix_right),
         )
 
-    return both.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+    expected = dict(l_types)
+    for c in r_cols:
+        if c in (key, ts):
+            continue
+        expected[c + suffix_right if c in l_types else c] = r_types[c]
+    return (
+        both.groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .map_batches(_restore_schema(expected), batch_format="pyarrow")
+    )

@@ -448,7 +448,11 @@ def q_events_sliding_1h(sf_dir: str):
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         ts = g["ts"].astype("int64").to_numpy()
         lo = np.searchsorted(ts, ts - 3600_000000, side="left")
-        n = np.arange(1, len(ts) + 1) - lo
+        # RANGE-frame peer semantics: rows sharing the current ts are all
+        # inside the frame (including ones later in row order), so the
+        # upper bound is the right edge of the ts run, not the row index.
+        hi = np.searchsorted(ts, ts, side="right")
+        n = hi - lo
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
@@ -549,7 +553,13 @@ def q_events_asof_purchase(sf_dir: str):
     def finish(b: pa.Table) -> pa.Table:
         prev = pc.fill_null(pc.cast(b["prev_purchase_id"], pa.int64()), -1)
         return pa.table(
-            {"event_id": b["event_id"], "user_id": b["user_id"], "prev_purchase_id": prev}
+            {
+                # asof_join restores dtypes post-merge, but cast defensively:
+                # the driver hash gate needs int64, not pandas-coerced float64
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "prev_purchase_id": prev,
+            }
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
@@ -726,11 +736,13 @@ def _flagship_corpus(sf_dir: str) -> list[str]:
     import os
     import tempfile
 
-    from ocr_processor_ray.sources.synth import write_transcripts
+    from ocr_processor_ray.sources.synth import SYNTH_VERSION, write_transcripts
 
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
     n_convs = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 600}.get(sf_name, 150)
-    corpus = os.path.join(tempfile.gettempdir(), f"opr_transcripts_{sf_name}_{n_convs}")
+    corpus = os.path.join(
+        tempfile.gettempdir(), f"opr_transcripts_v{SYNTH_VERSION}_{sf_name}_{n_convs}"
+    )
     marker = os.path.join(corpus, "_complete")
     if not os.path.exists(marker):
         write_transcripts(corpus, seed=42, n_convs=n_convs)
@@ -874,7 +886,7 @@ ORACLE_SQL = {
         FROM documents
     """,
     "docs_by_lang": """
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM documents GROUP BY lang
     """,
@@ -1060,9 +1072,9 @@ FROM c
     """,
     "events_running_sum": """
         SELECT event_id, user_id,
-               sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS running_c
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
         FROM events
     """,
     "events_sliding_1h": """

@@ -27,6 +27,10 @@ import pyarrow.parquet as pq
 
 from ocr_processor_ray.schema import TRANSCRIPT_SCHEMA
 
+# Bump whenever generator output changes — callers key their /tmp corpus
+# caches on this so a stale corpus is never silently reused.
+SYNTH_VERSION = 1
+
 _WORDS_EN = (
     "the quick brown fox jumps over lazy dog stream table shuffle block "
     "partition actor batch arrow parquet layout density content boiler "
