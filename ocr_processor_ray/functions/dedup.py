@@ -7,14 +7,21 @@ Scale shapes (100 TB honest):
                    sizes are duplicate-cluster sizes (tiny).
 * **MinHash-LSH**— per-batch: shingle → 64-perm minhash → 8 bands × 8
                    rows; explode to ``(band, band_key, doc_id)`` rows →
-                   ``groupby(band, band_key)`` emits candidate pairs →
-                   verify with exact shingle Jaccard (pair-local).
-                   The shuffle moves only (band_key, doc_id) pairs —
-                   16 bytes/row/band — never document text.
+                   groupby a HASHED bucket of ``(band, band_key)``
+                   (``num_candidate_buckets`` groups, each receiving
+                   ~band_rows/B rows — bounded per task regardless of
+                   corpus size) → emit candidate pairs per exact
+                   (band, band_key) inside the task → verify with exact
+                   shingle Jaccard via a bucketed self-join that ships
+                   only the CANDIDATE pairs' texts through the shuffle.
+                   Candidate generation moves (band_key, doc_id) pairs —
+                   16 bytes/row/band — never document text; nothing is
+                   ever materialized on the driver.
 * **SimHash**    — 64-bit simhash per doc; bucket by the 4 16-bit
                    quarters (any pair within Hamming ≤ 3 must share at
-                   least one exact quarter — pigeonhole); verify real
-                   Hamming distance inside buckets.
+                   least one exact quarter — pigeonhole); same hashed
+                   (q, qkey) bucket shuffle; verify real Hamming
+                   distance inside buckets (8 B/row — no text needed).
 
 All hashing is blake2b-seeded and deterministic across workers.
 """
@@ -22,6 +29,7 @@ All hashing is blake2b-seeded and deterministic across workers.
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Iterable
 
 import numpy as np
@@ -29,6 +37,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
+
+logger = logging.getLogger(__name__)
+
+# 64-bit odd multipliers for cheap stable bucket mixing
+_MIX_A = 0x9E3779B97F4A7C15
+_MIX_B = 0xC2B2AE3D27D4EB4F
+_MASK64 = (1 << 64) - 1
+
+
+def _mix_bucket(key: int, salt: int, num_buckets: int) -> int:
+    """Deterministic bucket of an (already hash-valued) key + small salt."""
+    h = ((key & _MASK64) * _MIX_A + salt * _MIX_B) & _MASK64
+    return (h >> 32) % num_buckets
 
 # ------------------------------------------------------------------ exact
 
@@ -104,25 +125,40 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     return vals.min(axis=1).astype(np.uint64)
 
 
-def minhash_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """Explode each doc into N_BANDS rows: (band, band_key, doc_id).
+DEFAULT_CANDIDATE_BUCKETS = 256  # shuffle fan-out for candidate generation
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_candidate_buckets: int = DEFAULT_CANDIDATE_BUCKETS,
+) -> pa.Table:
+    """Explode each doc into N_BANDS rows: (_cbucket, band, band_key, doc_id).
 
     band_key is a 64-bit digest of the band's ROWS_PER_BAND minhash
-    values — the LSH bucket key.
+    values — the LSH bucket key. ``_cbucket`` hashes (band, band_key)
+    into ``num_candidate_buckets`` shuffle partitions, so each downstream
+    task receives ~(N_docs × N_BANDS)/B rows — bounded by B, not by the
+    corpus, while all rows of one exact LSH bucket still co-locate.
     """
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
-    out_band, out_key, out_id = [], [], []
+    out_bkt, out_band, out_key, out_id = [], [], [], []
     for did, text in zip(ids, texts):
         sig = minhash_signature(text)
         for band in range(N_BANDS):
             seg = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-            key = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
+            key = int.from_bytes(
+                hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
+            )
+            out_bkt.append(_mix_bucket(key, band, num_candidate_buckets))
             out_band.append(band)
-            out_key.append(int.from_bytes(key, "big") - (1 << 63))
+            out_key.append(key - (1 << 63))
             out_id.append(did)
     return pa.table(
         {
+            "_cbucket": pa.array(out_bkt, pa.int32()),
             "band": pa.array(out_band, pa.int32()),
             "band_key": pa.array(out_key, pa.int64()),
             "doc_id": pa.array(out_id, pa.int64()),
@@ -133,28 +169,35 @@ def minhash_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
 MAX_BUCKET_MEMBERS = 50  # caps quadratic candidate blowup per bucket
 
 
-def _band_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs from ONE BAND's rows: bucket by band_key in-task
-    (a dict), emit pairs per bucket. Grouping by band (8 groups) instead
-    of by (band, band_key) (tens of thousands of tiny groups) avoids the
-    sort-shuffle's per-group overhead; identical candidate set. At
-    extreme scale (a band's rows exceeding one worker) fall back to
-    ``groupby(["band", "band_key"])`` — stated here, SURVEY §4.2.
-    """
-    keys = group["band_key"].to_pylist()
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs from ONE ``_cbucket`` of band rows: group by the
+    exact (band, band_key) in-task, emit all-pairs per LSH bucket.
+    Over-full LSH buckets are truncated to ``MAX_BUCKET_MEMBERS``
+    (lowest ids kept, deterministic) and the drop is LOGGED — silent
+    truncation at scale would read as full coverage."""
+    keys = zip(group["band"].to_pylist(), group["band_key"].to_pylist())
     ids = group["doc_id"].to_pylist()
-    buckets: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
     for k, d in zip(keys, ids):
         buckets.setdefault(k, []).append(d)
     a, b = [], []
+    n_dropped = 0
     for members in buckets.values():
         if len(members) < 2:
             continue
+        if len(members) > MAX_BUCKET_MEMBERS:
+            n_dropped += len(members) - MAX_BUCKET_MEMBERS
         members = sorted(members)[:MAX_BUCKET_MEMBERS]
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 a.append(members[i])
                 b.append(members[j])
+    if n_dropped:
+        logger.warning(
+            "minhash-lsh: truncated %d members beyond MAX_BUCKET_MEMBERS=%d",
+            n_dropped,
+            MAX_BUCKET_MEMBERS,
+        )
     return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
 
@@ -165,49 +208,72 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _attach_pair_texts(
+    pairs: Dataset,
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+) -> Dataset:
+    """Attach both documents' texts to candidate (id_a, id_b) rows via two
+    bucketed self-joins — each join shuffles pairs + docs keyed by the id,
+    so per-task input is bounded by the bucket, and only the candidate
+    pairs' texts travel; the corpus is never collected anywhere."""
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    def renamed(side: str) -> Dataset:
+        return docs.map_batches(
+            lambda t, side=side: pa.table(
+                {f"id_{side}": pc.cast(t[id_col], pa.int64()),
+                 f"text_{side}": t[text_col]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    with_a = bucketed_join(pairs, renamed("a"), on="id_a", num_buckets=num_buckets)
+    return bucketed_join(with_a, renamed("b"), on="id_b", num_buckets=num_buckets)
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    num_candidate_buckets: int = DEFAULT_CANDIDATE_BUCKETS,
+    num_join_buckets: int = 16,
 ) -> Dataset:
     """Near-duplicate pairs with exact-Jaccard verification.
 
-    Verification broadcasts the (id → text) map via ``ray.put`` once and
-    reads it inside each verify batch — a small-side broadcast lookup,
-    NOT a shuffle join (valid while the candidate doc set fits the
-    object store; at 100 TB the verify side switches to a bucketed
-    self-join on id ranges).
+    Every stage is bounded per task: candidate generation shuffles 16-byte
+    band rows into ``num_candidate_buckets`` hashed (band, band_key)
+    partitions; verification joins the surviving candidate pairs back to
+    their two texts with bucketed self-joins (only candidates' texts move;
+    no driver-side materialization, no whole-corpus broadcast).
     """
-    import ray
-
     bands = ds.map_batches(
-        lambda t: minhash_band_rows(t, id_col, text_col),
+        lambda t: minhash_band_rows(t, id_col, text_col, num_candidate_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = bands.groupby("band").map_groups(_band_pairs, batch_format="pyarrow")
+    pairs = bands.groupby("_cbucket").map_groups(_bucket_pairs, batch_format="pyarrow")
     # drop duplicate candidate pairs produced by multiple agreeing bands
-    # (arrow two-phase: pair count fits one combine worker by construction)
+    # (two_phase_agg auto-routes to a key-sharded groupby if pairs are many)
     from ocr_processor_ray.functions.agg import two_phase_agg
 
     pairs = two_phase_agg(pairs, ["id_a", "id_b"], [("id_a", "count", "n_bands")])
-
-    # one execution for the lookup map: zipping columns from two separate
-    # executions would pair ids with texts from different block orders
-    id_text = ds.select_columns([id_col, text_col]).to_pandas()
-    texts_ref = ray.put(dict(zip(id_text[id_col].tolist(), id_text[text_col].tolist())))
+    with_texts = _attach_pair_texts(pairs, ds, id_col, text_col, num_join_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
         ja = [
-            round(jaccard(texts[a], texts[b]), 6)
-            for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+            round(jaccard(a, b), 6)
+            for a, b in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
         ]
         batch = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-        return batch.filter(pc.greater_equal(batch["jaccard"], threshold))
+        batch = batch.filter(pc.greater_equal(batch["jaccard"], threshold))
+        return batch.select(["id_a", "id_b", "n_bands", "jaccard"])
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return with_texts.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -238,10 +304,14 @@ def add_simhash(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text")
 
 
 def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3) -> Dataset:
+                  max_hamming: int = 3,
+                  num_candidate_buckets: int = DEFAULT_CANDIDATE_BUCKETS) -> Dataset:
     """Near-dup pairs by SimHash: bucket on each 16-bit quarter, verify
     Hamming distance inside buckets (pigeonhole: dist ≤ 3 ⇒ one of the
-    4 quarters is identical)."""
+    4 quarters is identical). The shuffle key is a HASH of (q, qkey)
+    into ``num_candidate_buckets`` partitions — per-task input is
+    ~4·N/B rows of 8-byte hashes, bounded by B, never the whole corpus
+    in 4 groups."""
     hashed = ds.map_batches(
         lambda t: add_simhash(t, id_col, text_col),
         batch_format="pyarrow",
@@ -251,16 +321,19 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
     def explode_quarters(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         shs = batch["simhash"].to_pylist()
-        q_i, q_k, q_id, q_sh = [], [], [], []
+        q_b, q_i, q_k, q_id, q_sh = [], [], [], [], []
         for did, sh in zip(ids, shs):
             u = sh + (1 << 63)
             for q in range(4):
+                qkey = (u >> (16 * q)) & 0xFFFF
+                q_b.append(_mix_bucket(qkey, q, num_candidate_buckets))
                 q_i.append(q)
-                q_k.append((u >> (16 * q)) & 0xFFFF)
+                q_k.append(qkey)
                 q_id.append(did)
                 q_sh.append(sh)
         return pa.table(
             {
+                "_cbucket": pa.array(q_b, pa.int32()),
                 "q": pa.array(q_i, pa.int32()),
                 "qkey": pa.array(q_k, pa.int32()),
                 id_col: pa.array(q_id, pa.int64()),
@@ -269,17 +342,23 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
         )
 
     def quarter_verify(group: pa.Table) -> pa.Table:
-        """One quarter's rows: bucket by qkey in-task, verify Hamming per
-        bucket (same coarse-group rationale as _band_pairs)."""
-        buckets: dict[int, list[tuple[int, int]]] = {}
-        for k, did, sh in zip(
-            group["qkey"].to_pylist(), group[id_col].to_pylist(), group["simhash"].to_pylist()
+        """One hashed bucket's rows: group by the exact (q, qkey) in-task,
+        verify Hamming per LSH bucket (same shape as _bucket_pairs)."""
+        buckets: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for q, k, did, sh in zip(
+            group["q"].to_pylist(),
+            group["qkey"].to_pylist(),
+            group[id_col].to_pylist(),
+            group["simhash"].to_pylist(),
         ):
-            buckets.setdefault(k, []).append((did, sh))
+            buckets.setdefault((q, k), []).append((did, sh))
         a, b, d = [], [], []
+        n_dropped = 0
         for rows in buckets.values():
             if len(rows) < 2:
                 continue
+            if len(rows) > 200:
+                n_dropped += len(rows) - 200
             rows = sorted(rows)[:200]
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
@@ -290,6 +369,11 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
                         a.append(rows[i][0])
                         b.append(rows[j][0])
                         d.append(dist)
+        if n_dropped:
+            logger.warning(
+                "simhash: truncated %d members beyond 200 per (q, qkey) bucket",
+                n_dropped,
+            )
         return pa.table(
             {
                 "id_a": pa.array(a, pa.int64()),
@@ -299,7 +383,7 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
         )
 
     exploded = hashed.map_batches(explode_quarters, batch_format="pyarrow")
-    pairs = exploded.groupby("q").map_groups(quarter_verify, batch_format="pyarrow")
+    pairs = exploded.groupby("_cbucket").map_groups(quarter_verify, batch_format="pyarrow")
     # a pair can match in several quarters — dedup (two-phase arrow agg)
     from ocr_processor_ray.functions.agg import two_phase_agg
 

@@ -19,13 +19,14 @@ from typing import Sequence
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
 
 def broadcast_join(
     big: Dataset,
-    small_df: pd.DataFrame,
+    small_df: "pd.DataFrame | pa.Table",
     on: str | list[str],
     how: str = "inner",
 ) -> Dataset:
@@ -35,11 +36,50 @@ def broadcast_join(
     reads it zero-copy from the local store (at cluster scale the object
     transfers to each node once and is cached there — never re-shipped
     per batch).
+
+    Hot path is Arrow-native (``pc.index_in`` on the key + ``take`` of
+    the small side's payload columns — no Arrow→pandas→Arrow copy per
+    batch); it requires a single key that is UNIQUE on the small side
+    (the lookup-join contract). Multi-key or duplicate-key small sides
+    fall back to a pandas merge.
     """
-    small_ref = ray.put(small_df)
+    small_tbl = (
+        pa.Table.from_pandas(small_df, preserve_index=False)
+        if isinstance(small_df, pd.DataFrame)
+        else small_df
+    )
+    single_key = isinstance(on, str)
+    unique_small = (
+        single_key
+        and pc.count_distinct(small_tbl[on]).as_py() == small_tbl.num_rows
+    )
+
+    if single_key and unique_small and how in ("inner", "left"):
+        payload_cols = [c for c in small_tbl.column_names if c != on]
+        small_ref = ray.put(
+            {"keys": small_tbl[on].combine_chunks(),
+             "payload": small_tbl.select(payload_cols).combine_chunks()}
+        )
+
+        def join_arrow(batch: pa.Table) -> pa.Table:
+            small = ray.get(small_ref)  # local zero-copy read after first fetch
+            idx = pc.index_in(batch[on], value_set=small["keys"])
+            if how == "inner":
+                valid = pc.is_valid(idx)
+                batch = batch.filter(valid)
+                idx = idx.filter(valid)
+            taken = small["payload"].take(idx)  # null index → null row (left)
+            for c in payload_cols:
+                batch = batch.append_column(c, taken[c])
+            return batch
+
+        return big.map_batches(join_arrow, batch_format="pyarrow", zero_copy_batch=True)
+
+    small_pdf = small_tbl.to_pandas()
+    small_ref = ray.put(small_pdf)
 
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        small = ray.get(small_ref)  # local zero-copy read after first fetch
+        small = ray.get(small_ref)
         return batch.merge(small, on=on, how=how)
 
     return big.map_batches(join_batch, batch_format="pandas")

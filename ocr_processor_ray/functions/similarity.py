@@ -14,9 +14,13 @@ that.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
+
+logger = logging.getLogger(__name__)
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -116,6 +120,14 @@ def embedding_near_dup_pairs(
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = min(group.num_rows, max_bucket)
+        if group.num_rows > max_bucket:
+            logger.warning(
+                "embedding-near-dup: truncated %d of %d rows in one LSH bucket "
+                "(max_bucket=%d) — raise n_bits to split hot buckets",
+                group.num_rows - max_bucket,
+                group.num_rows,
+                max_bucket,
+            )
         ids = group[id_col].to_pylist()[:n]
         vecs = np.array(group["_vec"].to_pylist()[:n], dtype=np.float64)
         order = np.argsort(ids)

@@ -502,9 +502,12 @@ def q_building_segment_revenue(sf_dir: str):
 
 
 def q_events_value_median(sf_dir: str):
-    """Exact distributed median on scaled ints: per-batch projection →
-    one combine task (values fit a worker: 8 B × rows). Interpolated
-    middle of int64s is exact float both engines."""
+    """Exact distributed median on scaled ints via iterative histogram
+    select-kth (functions/quantile.py) — no single-worker materialization;
+    only KB-sized histograms reach the driver. Interpolated middle of
+    int64s is exact float both engines."""
+    from ocr_processor_ray.functions.quantile import distributed_exact_median
+
     ds = _read(sf_dir, "events", ["value"])
     ds = ds.map_batches(
         lambda b: pa.table(
@@ -513,14 +516,8 @@ def q_events_value_median(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-
-    def median_task(t: pa.Table) -> pa.Table:
-        med = float(np.median(t["value_c"].to_numpy())) / 100.0
-        return pa.table({"median_value": pa.array([med], pa.float64())})
-
-    return ds.repartition(1).map_batches(
-        median_task, batch_format="pyarrow", batch_size=None
-    )
+    med = distributed_exact_median(ds, "value_c") / 100.0
+    return pa.table({"median_value": pa.array([med], pa.float64())})
 
 
 def q_events_asof_purchase(sf_dir: str):
@@ -1011,37 +1008,26 @@ FROM c
         GROUP BY n_name
     """,
     "doc_security_scan": """
-        SELECT doc_id, sha256(text) AS sha256,
-               (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END) AS risk_score,
-               CASE WHEN (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END) >= 5 THEN 'critical'
-                    WHEN (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END) >= 3 THEN 'high'
-                    WHEN (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
-              + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
-              + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END) >= 1 THEN 'medium'
+        WITH s AS (
+            SELECT doc_id, sha256(text) AS sha256,
+                   (CASE WHEN regexp_matches(text, '(?i)<script') THEN 2 ELSE 0 END
+                  + CASE WHEN regexp_matches(text, '(?i)javascript:') THEN 2 ELSE 0 END
+                  + CASE WHEN regexp_matches(text, '(?i)on(?:click|load|error)\\s*=') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(text, 'MZ\\x90') THEN 3 ELSE 0 END
+                  + CASE WHEN regexp_matches(text, '\\x7fELF') THEN 3 ELSE 0 END
+                  + CASE WHEN regexp_matches(text, '\\.\\./|%2e%2e%2f') THEN 2 ELSE 0 END
+                  + CASE WHEN regexp_matches(text, '\\x00') THEN 3 ELSE 0 END
+                  + CASE WHEN regexp_matches(text, '/Encrypt|/StmF|/StrF') THEN 2 ELSE 0 END
+                  + CASE WHEN regexp_matches(text, '/EmbeddedFile|/Names/EmbeddedFiles') THEN 2 ELSE 0 END
+                   ) AS risk_score
+            FROM documents
+        )
+        SELECT doc_id, sha256, risk_score,
+               CASE WHEN risk_score >= 5 THEN 'critical'
+                    WHEN risk_score >= 3 THEN 'high'
+                    WHEN risk_score >= 1 THEN 'medium'
                     ELSE 'low' END AS risk_level
-        FROM documents
+        FROM s
     """,
     "lineitem_q6": """
         SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS revenue

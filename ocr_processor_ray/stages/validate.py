@@ -5,6 +5,11 @@ Vectorized re-expressions of the reference's per-file gates:
 * O12 suspicious-pattern scan — regex list over the payload head
   (script tags, ``javascript:``, executable magic;
   security_validator.py:64-80,392-415)
+* O13 encryption / embedded-file probes — the reference scans head
+  bytes for PDF encryption-dictionary markers (``/Encrypt``, ``/StmF``,
+  ``/StrF``; security_validator.py:418-436) and embedded-file markers
+  (``/EmbeddedFile``, ``/Names/EmbeddedFiles``;
+  security_validator.py:438-461)
 * O14 content digest — sha256 per row (security_validator.py:463-472)
 * O15 risk classifier — flag buckets → low/medium/high/critical
   (security_validator.py:474-492)
@@ -32,6 +37,10 @@ SUSPICIOUS_PATTERNS: list[tuple[str, str, int]] = [
     ("elf_magic", r"\x7fELF", 3),
     ("path_traversal", r"\.\./|%2e%2e%2f", 2),
     ("nul_byte", r"\x00", 3),
+    # O13: the reference's encryption-dictionary and embedded-file marker
+    # scans (security_validator.py:418-461), case-sensitive like the source
+    ("pdf_encryption", r"/Encrypt|/StmF|/StrF", 2),
+    ("embedded_file", r"/EmbeddedFile|/Names/EmbeddedFiles", 2),
 ]
 
 RISK_LEVELS = ("low", "medium", "high", "critical")

@@ -113,6 +113,33 @@ class TestDedupPipelines:
         dup_row = out[out["n"] == 3].iloc[0]
         assert dup_row["doc_id"] == 0
 
+    def test_minhash_candidate_buckets_bounded(self):
+        """Per-task input is bounded by the hashed (band, band_key) bucket
+        count, not the corpus: at a 10x corpus no single _cbucket holds
+        more than a small multiple of the fair share."""
+        from ocr_processor_ray.functions.dedup import N_BANDS, minhash_band_rows
+
+        n_docs = 230  # ~10x the planted-dup test corpus
+        texts = [f"doc {i} about subject {i * 31} with token {i % 7}" for i in range(n_docs)]
+        bands = minhash_band_rows(_doc_table(texts), num_candidate_buckets=64)
+        counts = bands.group_by("_cbucket").aggregate([("doc_id", "count")])
+        biggest = max(counts["doc_id_count"].to_pylist())
+        fair = n_docs * N_BANDS / 64
+        assert biggest <= 6 * fair  # bounded; never "whole corpus in one group"
+        assert len(counts) > 32  # the key space actually spreads
+
+    def test_simhash_candidate_buckets_bounded(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import simhash_pairs
+
+        # all-identical docs: the degenerate hot-key case. The pipeline must
+        # still terminate with the truncated pair set, not collapse to 4 groups.
+        texts = ["same text for everyone here"] * 30
+        pairs = simhash_pairs(rd.from_arrow(_doc_table(texts))).to_pandas()
+        assert len(pairs) == 30 * 29 // 2
+        assert (pairs["hamming"] == 0).all()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSimilarity:
@@ -168,10 +195,46 @@ class TestJoins:
             .sort_values("k", ignore_index=True)
         )
         want = left.merge(right, on="k").sort_values("k", ignore_index=True)
-        # bucketed_join unions both sides before grouping, so columns absent
-        # from one side pass through pandas as NaN and ints widen to float;
-        # values are exact (native hash_join avoids the widening)
-        pd.testing.assert_frame_equal(got[["k", "a", "b"]], want, check_dtype=False)
+        # the post-merge schema-restore stage casts back to the original
+        # Arrow dtypes, so int64 stays int64 despite the null-padded union
+        pd.testing.assert_frame_equal(got[["k", "a", "b"]], want, check_dtype=True)
+
+    def test_bucketed_join_string_key(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import bucketed_join
+
+        left = pd.DataFrame({"k": [f"key{i}" for i in range(60)], "a": range(60)})
+        right = pd.DataFrame({"k": [f"key{i}" for i in range(0, 60, 3)], "b": range(20)})
+        got = (
+            bucketed_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=8)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = left.merge(right, on="k").sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(got[["k", "a", "b"]], want, check_dtype=True)
+
+    def test_asof_join_preserves_int_dtypes_with_unmatched_rows(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import asof_join
+
+        left = pd.DataFrame(
+            {"key": [1, 1, 2], "ts": pd.to_datetime([10, 20, 30], unit="s"),
+             "lv": [100, 200, 300]}
+        )
+        # key=2 has no right-side match → its rv must be null, NOT coerce
+        # the whole rv column to float64
+        right = pd.DataFrame(
+            {"key": [1], "ts": pd.to_datetime([5], unit="s"), "rv": [7]}
+        )
+        got = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="key", ts="ts", num_buckets=4
+        ).to_pandas().sort_values("lv", ignore_index=True)
+        assert str(got["rv"].dtype) in ("Int64", "int64", "object") or got["rv"].isna().any()
+        matched = got[got["key"] == 1]
+        assert matched["rv"].tolist() == [7, 7]
+        assert got[got["key"] == 2]["rv"].isna().all()
 
     def test_broadcast_join(self):
         import ray.data as rd
@@ -183,6 +246,95 @@ class TestJoins:
         got = broadcast_join(rd.from_pandas(big), small, on="k").to_pandas()
         assert len(got) == 50
         assert set(got.columns) == {"k", "v", "name"}
+
+    def test_broadcast_join_arrow_path_inner_and_left(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import broadcast_join
+
+        big = pd.DataFrame({"k": [0, 1, 2, 99], "v": [10, 11, 12, 13]})
+        small = pd.DataFrame({"k": [0, 1, 2], "name": ["a", "b", "c"]})
+        inner = broadcast_join(rd.from_pandas(big), small, on="k").to_pandas()
+        assert len(inner) == 3 and 99 not in inner["k"].tolist()
+        assert str(inner["v"].dtype) == "int64"  # no pandas float widening
+        left = broadcast_join(rd.from_pandas(big), small, on="k", how="left").to_pandas()
+        assert len(left) == 4
+        assert left.loc[left["k"] == 99, "name"].isna().all()
+
+    def test_broadcast_join_duplicate_small_keys_fall_back(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import broadcast_join
+
+        big = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+        small = pd.DataFrame({"k": [1, 1], "name": ["x", "y"]})  # 1:N small side
+        got = broadcast_join(rd.from_pandas(big), small, on="k").to_pandas()
+        assert sorted(got["name"].tolist()) == ["x", "y"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTwoPhaseAgg:
+    def _ds(self):
+        import ray.data as rd
+
+        # high-cardinality: 500 distinct keys, 3 rows each
+        df = pd.DataFrame(
+            {"k": list(range(500)) * 3, "v": list(range(1500)),
+             "count_rate": [0.5] * 1500}
+        )
+        return rd.from_pandas(df), df
+
+    def test_fallback_path_matches_single_combine(self):
+        from ocr_processor_ray.functions.agg import two_phase_agg
+
+        ds, df = self._ds()
+        aggs = [("v", "sum", "sv"), ("v", "count", "n"), ("v", "min", "mv")]
+        one = two_phase_agg(ds, ["k"], aggs).to_pandas().sort_values("k", ignore_index=True)
+        # force the key-sharded fallback with a tiny combine threshold
+        ds2, _ = self._ds()
+        sharded = (
+            two_phase_agg(ds2, ["k"], aggs, max_combine_rows=10)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(one, sharded, check_dtype=True)
+        assert str(one["n"].dtype) == "int64"
+
+    def test_count_in_user_column_name_not_truncated(self):
+        """A sum over a float column merely NAMED '...count...' must stay
+        float (regression for the substring-matched int64 cast)."""
+        from ocr_processor_ray.functions.agg import two_phase_agg
+
+        ds, _ = self._ds()
+        out = two_phase_agg(
+            ds, ["k"], [("count_rate", "sum", "count_rate_total")]
+        ).to_pandas()
+        assert str(out["count_rate_total"].dtype) == "float64"
+        assert abs(out["count_rate_total"].iloc[0] - 1.5) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedMedian:
+    @pytest.mark.parametrize("n", [101, 100, 7])
+    def test_matches_numpy_through_narrowing(self, n):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.quantile import distributed_exact_median
+
+        rng = np.random.RandomState(n)
+        vals = rng.randint(-50_000, 2_000_000, size=n).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        # max_collect far below n forces ≥1 histogram-narrowing iteration
+        got = distributed_exact_median(ds, "v", max_collect=max(5, n // 10))
+        assert got == float(np.median(vals))
+
+    def test_constant_column(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.quantile import distributed_exact_median
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([42] * 1000, pa.int64())}))
+        assert distributed_exact_median(ds, "v", max_collect=10) == 42.0
 
 
 @pytest.mark.usefixtures("ray_session")
