@@ -208,31 +208,126 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def _attach_pair_texts(
-    pairs: Dataset,
+def _bucketed_pair_verify(
+    raw_pairs: Dataset,
     docs: Dataset,
     id_col: str,
     text_col: str,
+    threshold: float,
     num_buckets: int,
 ) -> Dataset:
-    """Attach both documents' texts to candidate (id_a, id_b) rows via two
-    bucketed self-joins — each join shuffles pairs + docs keyed by the id,
-    so per-task input is bounded by the bucket, and only the candidate
-    pairs' texts travel; the corpus is never collected anywhere."""
-    from ocr_processor_ray.functions.relational import bucketed_join
+    """Dedup candidate pairs and verify exact Jaccard in TWO bucketed
+    shuffles, fully Arrow-native, with no driver-side materialization.
 
-    def renamed(side: str) -> Dataset:
-        return docs.map_batches(
-            lambda t, side=side: pa.table(
-                {f"id_{side}": pc.cast(t[id_col], pa.int64()),
-                 f"text_{side}": t[text_col]}
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    Shuffle 1 keys both the raw (id_a, id_b) candidates and the docs by
+    ``id_a % B``: every duplicate of a pair (one per agreeing band)
+    co-locates with id_a's text, so the task dedups (group_by count →
+    n_bands) AND attaches text_a in one pass. Shuffle 2 re-keys by
+    ``id_b % B`` to attach text_b, then verifies Jaccard in-task. Only
+    candidate rows + each bucket's doc texts move; per-task input is
+    bounded by the bucket count."""
+
+    def _tag(side: int, key: str, cols: dict):
+        """Pad to the stage's union schema + bucket by ``key % B``."""
+
+        def fn(b: pa.Table) -> pa.Table:
+            keys = pc.cast(b[key], pa.int64()).to_numpy(zero_copy_only=False)
+            bucket = pa.array((keys % num_buckets).astype(np.int32))
+            out = {"_bucket": bucket, "_side": pa.array([side] * b.num_rows, pa.int8())}
+            for name, typ in cols.items():
+                out[name] = (
+                    pc.cast(b[name], typ)
+                    if name in b.column_names
+                    else pa.nulls(b.num_rows, typ)
+                )
+            return pa.table(out)
+
+        return fn
+
+    s1_cols = {
+        "id_a": pa.int64(),
+        "id_b": pa.int64(),
+        "text_a": pa.string(),
+    }
+    docs_a = docs.map_batches(
+        lambda t: pa.table(
+            {"id_a": pc.cast(t[id_col], pa.int64()), "text_a": t[text_col]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    stage1 = raw_pairs.map_batches(
+        _tag(0, "id_a", s1_cols), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        docs_a.map_batches(
+            _tag(1, "id_a", s1_cols), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def merge_a(group: pa.Table) -> pa.Table:
+        is_pair = pc.equal(group["_side"], 0)
+        pairs = group.filter(is_pair)
+        dtab = group.filter(pc.invert(is_pair))
+        agg = (
+            pairs.select(["id_a", "id_b"])
+            .group_by(["id_a", "id_b"])
+            .aggregate([("id_a", "count")])
+        )
+        idx = pc.index_in(agg["id_a"], value_set=dtab["id_a"].combine_chunks())
+        return pa.table(
+            {
+                "id_a": agg["id_a"],
+                "id_b": agg["id_b"],
+                "n_bands": pc.cast(agg["id_a_count"], pa.int64()),
+                "text_a": dtab["text_a"].combine_chunks().take(idx),
+            }
         )
 
-    with_a = bucketed_join(pairs, renamed("a"), on="id_a", num_buckets=num_buckets)
-    return bucketed_join(with_a, renamed("b"), on="id_b", num_buckets=num_buckets)
+    halved = stage1.groupby("_bucket").map_groups(merge_a, batch_format="pyarrow")
+
+    s2_cols = {
+        "id_a": pa.int64(),
+        "id_b": pa.int64(),
+        "n_bands": pa.int64(),
+        "text_a": pa.string(),
+        "text_b": pa.string(),
+    }
+    docs_b = docs.map_batches(
+        lambda t: pa.table(
+            {"id_b": pc.cast(t[id_col], pa.int64()), "text_b": t[text_col]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    stage2 = halved.map_batches(
+        _tag(0, "id_b", s2_cols), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        docs_b.map_batches(
+            _tag(1, "id_b", s2_cols), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def merge_b_verify(group: pa.Table) -> pa.Table:
+        is_pair = pc.equal(group["_side"], 0)
+        pairs = group.filter(is_pair)
+        dtab = group.filter(pc.invert(is_pair))
+        idx = pc.index_in(pairs["id_b"], value_set=dtab["id_b"].combine_chunks())
+        text_b = dtab["text_b"].combine_chunks().take(idx)
+        ja = [
+            round(jaccard(a, b), 6)
+            for a, b in zip(pairs["text_a"].to_pylist(), text_b.to_pylist())
+        ]
+        out = pa.table(
+            {
+                "id_a": pairs["id_a"],
+                "id_b": pairs["id_b"],
+                "n_bands": pairs["n_bands"],
+                "jaccard": pa.array(ja, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return stage2.groupby("_bucket").map_groups(merge_b_verify, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(
@@ -256,24 +351,14 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = bands.groupby("_cbucket").map_groups(_bucket_pairs, batch_format="pyarrow")
-    # drop duplicate candidate pairs produced by multiple agreeing bands
-    # (two_phase_agg auto-routes to a key-sharded groupby if pairs are many)
-    from ocr_processor_ray.functions.agg import two_phase_agg
-
-    pairs = two_phase_agg(pairs, ["id_a", "id_b"], [("id_a", "count", "n_bands")])
-    with_texts = _attach_pair_texts(pairs, ds, id_col, text_col, num_join_buckets)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ja = [
-            round(jaccard(a, b), 6)
-            for a, b in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
-        ]
-        batch = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-        batch = batch.filter(pc.greater_equal(batch["jaccard"], threshold))
-        return batch.select(["id_a", "id_b", "n_bands", "jaccard"])
-
-    return with_texts.map_batches(verify, batch_format="pyarrow")
+    raw_pairs = bands.groupby("_cbucket").map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    # pair dedup (n_bands count) happens INSIDE the first verify shuffle —
+    # all duplicates of a pair share id_a, so they co-locate there for free
+    return _bucketed_pair_verify(
+        raw_pairs, ds, id_col, text_col, threshold, num_join_buckets
+    )
 
 
 # ---------------------------------------------------------------- simhash

@@ -132,45 +132,73 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int):
     return (pd.util.hash_array(vals) % num_buckets).astype(np.int32)
 
 
-def _tagged_bucket_union(left: Dataset, right: Dataset, on: str, num_buckets: int):
+def _tagged_bucket_union(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    num_buckets: int,
+    l_schema: dict | None = None,
+    r_schema: dict | None = None,
+):
     """Tag each side, bucket by ``hash(key) % B``, pad to a common schema
     and union — the explicit partitioned-exchange prelude shared by the
     bucketed hash join and the as-of join.
+
+    ``l_schema``/``r_schema`` ({col: pa.DataType}, insertion-ordered) let
+    callers that know their input schemas skip the ``Dataset.schema()``
+    probe — which executes a prefix of the upstream pipeline and, in a
+    chain of joins, re-runs the previous join once just to learn types.
     Returns (unioned, l_cols, r_cols, l_types, r_types)."""
 
-    def tag(side: int):
+    def _probe_schema(ds: Dataset) -> dict:
+        """{col: pa.DataType} from Dataset.schema(), tolerating pandas-block
+        schemas (numpy dtypes) as produced by ``from_pandas`` inputs."""
+        s = ds.schema()
+        out = {}
+        for name, typ in zip(s.names, s.types):
+            if not isinstance(typ, pa.DataType):
+                import numpy as np
+
+                typ = (
+                    pa.string()
+                    if np.dtype(typ) == np.dtype(object)  # pandas object = str
+                    else pa.from_numpy_dtype(typ)
+                )
+            out[name] = typ
+        return out
+
+    _tag_types = {"_bucket": pa.int32(), "_side": pa.int8()}
+    if l_schema is None:
+        l_schema = _probe_schema(left)
+    if r_schema is None:
+        r_schema = _probe_schema(right)
+    all_types = {**l_schema, **r_schema, **_tag_types}
+    ordered_cols = list(all_types)
+
+    def tag_pad(side: int):
+        """ONE map stage per side: bucket tag + null-pad to the union
+        schema + fixed column order (fused — three stages' worth of
+        per-operator overhead is pure coordination cost on Ray)."""
+
         def fn(batch: pa.Table) -> pa.Table:
             bucket = _bucket_of(batch[on], num_buckets)
-            return batch.append_column("_bucket", pa.array(bucket)).append_column(
-                "_side", pa.array([side] * batch.num_rows, pa.int8())
-            )
+            cols = {}
+            for c in ordered_cols:
+                if c == "_bucket":
+                    cols[c] = pa.array(bucket)
+                elif c == "_side":
+                    cols[c] = pa.array([side] * batch.num_rows, pa.int8())
+                elif c in batch.column_names:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = pa.nulls(batch.num_rows, all_types[c])
+            return pa.table(cols)
 
         return fn
 
-    l_tagged = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
-    r_tagged = right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
-
-    def pad(cols_missing: list[str], types: dict):
-        def fn(batch: pa.Table) -> pa.Table:
-            for c in cols_missing:
-                batch = batch.append_column(c, pa.nulls(batch.num_rows, types[c]))
-            return batch
-
-        return fn
-
-    l_schema = {f.name: f.type for f in l_tagged.schema().base_schema}
-    r_schema = {f.name: f.type for f in r_tagged.schema().base_schema}
-    all_types = {**l_schema, **r_schema}
-    l_missing = [c for c in r_schema if c not in l_schema]
-    r_missing = [c for c in l_schema if c not in r_schema]
-    l_padded = l_tagged.map_batches(pad(l_missing, all_types), batch_format="pyarrow")
-    r_padded = r_tagged.map_batches(pad(r_missing, all_types), batch_format="pyarrow")
-    ordered_cols = list(all_types)
-    l_padded = l_padded.map_batches(lambda t: t.select(ordered_cols), batch_format="pyarrow")
-    r_padded = r_padded.map_batches(lambda t: t.select(ordered_cols), batch_format="pyarrow")
-    l_types = {c: l_schema[c] for c in l_schema if c not in ("_bucket", "_side")}
-    r_types = {c: r_schema[c] for c in r_schema if c not in ("_bucket", "_side")}
-    return l_padded.union(r_padded), list(l_types), list(r_types), l_types, r_types
+    l_padded = left.map_batches(tag_pad(0), batch_format="pyarrow", zero_copy_batch=True)
+    r_padded = right.map_batches(tag_pad(1), batch_format="pyarrow", zero_copy_batch=True)
+    return l_padded.union(r_padded), list(l_schema), list(r_schema), dict(l_schema), dict(r_schema)
 
 
 def _restore_schema(expected: dict[str, "pa.DataType"]):
@@ -203,6 +231,8 @@ def bucketed_join(
     on: str,
     num_buckets: int = 32,
     suffix_right: str = "_r",
+    l_schema: dict | None = None,
+    r_schema: dict | None = None,
 ) -> Dataset:
     """Partitioned hash join of two large Datasets on an int64 key.
 
@@ -210,7 +240,7 @@ def bucketed_join(
     ``hash(key) % num_buckets`` (int or string keys).
     """
     both, l_cols, r_cols, l_types, r_types = _tagged_bucket_union(
-        left, right, on, num_buckets
+        left, right, on, num_buckets, l_schema, r_schema
     )
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -237,6 +267,8 @@ def asof_join(
     ts: str,
     num_buckets: int = 32,
     suffix_right: str = "_r",
+    l_schema: dict | None = None,
+    r_schema: dict | None = None,
 ) -> Dataset:
     """As-of (backward) join: for each left row, the latest right row of
     the same ``key`` with ``right.ts <= left.ts`` (LEFT-join semantics —
@@ -247,7 +279,7 @@ def asof_join(
     land in one bucket; skewed keys bound bucket size by B choice.
     """
     both, l_cols, r_cols, l_types, r_types = _tagged_bucket_union(
-        left, right, key, num_buckets
+        left, right, key, num_buckets, l_schema, r_schema
     )
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
