@@ -24,6 +24,7 @@ Supported aggs mirror the catalog's needs: sum / count / min / max.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
@@ -106,3 +107,58 @@ def two_phase_agg(
         return batch
 
     return merged.map_batches(cast_counts, batch_format="pyarrow")
+
+
+def _local_topk(
+    batch: pa.Table, key: str, order_col: str, k: int, tiebreak: str
+) -> pa.Table:
+    """Keep each key's top-k rows of ONE batch (vectorized rank filter
+    over the batch sorted by (key, order desc, tiebreak))."""
+    if batch.num_rows == 0:
+        return batch
+    batch = batch.sort_by(
+        [(key, "ascending"), (order_col, "descending"), (tiebreak, "ascending")]
+    )
+    karr = batch[key].to_numpy(zero_copy_only=False)
+    changed = np.r_[True, karr[1:] != karr[:-1]]
+    starts = np.nonzero(changed)[0]
+    sizes = np.diff(np.r_[starts, len(karr)])
+    rank = np.arange(len(karr)) - np.repeat(starts, sizes)
+    return batch.filter(pa.array(rank < k))
+
+
+def grouped_topk(
+    ds: Dataset,
+    key: str,
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    rank_col: str = "rank",
+) -> Dataset:
+    """Per-key top-k rows WITHOUT shipping whole groups anywhere.
+
+    Scale shape: each batch keeps only its local top-k per key
+    (``map_batches``), so the combine input is ≤ #blocks × #keys × k
+    rows — bounded, even when one key covers the whole corpus (the
+    ``groupby(key).map_groups`` alternative would put the entire corpus
+    into #keys tasks). One combine task re-ranks and emits a 1-indexed
+    ``rank_col``. For #keys × k beyond one worker, shard the combine by
+    key hash first (same two-phase pattern as ``two_phase_agg``).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _local_topk(batch, key, order_col, k, tiebreak)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        out = _local_topk(batch, key, order_col, k, tiebreak)
+        karr = out[key].to_numpy(zero_copy_only=False)
+        changed = np.r_[True, karr[1:] != karr[:-1]] if len(karr) else np.array([], bool)
+        starts = np.nonzero(changed)[0]
+        sizes = np.diff(np.r_[starts, len(karr)])
+        rank = np.arange(len(karr)) - np.repeat(starts, sizes) + 1
+        return out.append_column(rank_col, pa.array(rank.astype(np.int64)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )

@@ -1,20 +1,23 @@
-"""Exact distributed order statistics (median) without a one-worker funnel.
+"""Exact distributed order statistics (median, quantiles) without a
+one-worker funnel.
 
 The naive exact median (``repartition(1)`` + ``np.median``) pulls every
 value onto one worker — fine at sf0.1, a wall at 10^12 rows. This is the
-classic two-pass (iterative) histogram select-kth, still EXACT:
+classic iterative histogram select-kth, still EXACT:
 
 1. one scan → total count N, global [min, max] (tiny per-batch partials)
-2. per iteration: one scan histograms the in-range values into ~1k
-   equal-width integer bins (per-batch ``np.bincount`` partials, summed
-   driver-side — the histogram is KB-sized); the bins containing the
-   k-th / (k+1)-th order stats narrow the value range
-3. when the in-range count fits ``max_collect`` (default 1M values =
-   8 MB), collect just those values and pick the order stats directly
+2. per iteration: one scan histograms each still-active k's value range
+   into ~1k equal-width integer bins (per-batch ``np.bincount`` partials,
+   summed driver-side — histograms are KB-sized); the bin containing the
+   k-th order stat narrows that k's range ~1000×
+3. when every k's in-range count fits ``max_collect`` (default 1M values
+   = 8 MB), one final scan collects just those values and picks the
+   order statistics directly
 
-Each iteration shrinks the candidate range ~1000× — two iterations
-bound 10^12 rows. Exchange volume per scan = one int64 column; nothing
-larger than the histogram ever reaches the driver.
+All requested ks share each scan (one histogram pass covers every active
+range), so cost is ~3 scans of one int64 column total, independent of
+how many quantiles are asked for. Nothing larger than the histograms
+ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -45,33 +48,106 @@ def _scan_stats(ds: Dataset, col: str) -> tuple[int, int, int]:
     p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     p = p.dropna()
     if p.empty or p["n"].sum() == 0:
-        raise ValueError("distributed median of an empty dataset")
+        raise ValueError("order statistics of an empty dataset")
     return int(p["n"].sum()), int(p["mn"].min()), int(p["mx"].max())
 
 
-def _range_histogram(
-    ds: Dataset, col: str, lo: int, hi: int, width: int
-) -> np.ndarray:
-    """One pass → summed histogram of values in [lo, hi] (bins of ``width``)."""
-    n_bins = (hi - lo) // width + 1
+def _range_histograms(
+    ds: Dataset, col: str, ranges: list[tuple[int, int, int]]
+) -> list[np.ndarray]:
+    """One pass → a summed histogram per (lo, hi, width) range."""
+    n_bins = [(hi - lo) // w + 1 for lo, hi, w in ranges]
 
     def part(b: pa.Table) -> pa.Table:
         v = b[col].to_numpy(zero_copy_only=False)
-        v = v[(v >= lo) & (v <= hi)]
-        counts = np.bincount((v - lo) // width, minlength=n_bins)
-        nz = np.nonzero(counts)[0]
+        ridx_out, bin_out, cnt_out = [], [], []
+        for ri, (lo, hi, w) in enumerate(ranges):
+            vv = v[(v >= lo) & (v <= hi)]
+            counts = np.bincount((vv - lo) // w, minlength=n_bins[ri])
+            nz = np.nonzero(counts)[0]
+            ridx_out.append(np.full(len(nz), ri, dtype=np.int32))
+            bin_out.append(nz)
+            cnt_out.append(counts[nz])
         return pa.table(
             {
-                "bin": pa.array(nz, pa.int64()),
-                "cnt": pa.array(counts[nz], pa.int64()),
+                "ridx": pa.array(np.concatenate(ridx_out), pa.int32()),
+                "bin": pa.array(np.concatenate(bin_out), pa.int64()),
+                "cnt": pa.array(np.concatenate(cnt_out), pa.int64()),
             }
         )
 
     p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    hist = np.zeros(n_bins, dtype=np.int64)
-    if not p.empty:
-        np.add.at(hist, p["bin"].to_numpy(), p["cnt"].to_numpy())
-    return hist
+    hists = [np.zeros(nb, dtype=np.int64) for nb in n_bins]
+    for ri in range(len(ranges)):
+        sub = p[p["ridx"] == ri]
+        if not sub.empty:
+            np.add.at(hists[ri], sub["bin"].to_numpy(), sub["cnt"].to_numpy())
+    return hists
+
+
+def distributed_order_stats(
+    ds: Dataset,
+    col: str,
+    ks: list[int],
+    max_collect: int = 1_000_000,
+    max_iters: int = 4,
+    stats: tuple[int, int, int] | None = None,
+) -> dict[int, int]:
+    """Exact 0-indexed order statistics of an int64 column.
+
+    Returns {k: value}. One histogram pass per narrowing iteration covers
+    every still-active k; one final pass collects the union of the
+    narrowed ranges (≤ ``len(ks) × max_collect`` values). Pass a
+    precomputed ``stats=(n, min, max)`` to skip the counting scan."""
+    n, mn, mx = stats if stats is not None else _scan_stats(ds, col)
+    for k in ks:
+        if not 0 <= k < n:
+            raise ValueError(f"order statistic {k} out of range for n={n}")
+    state = {k: [mn, mx, 0, n] for k in set(ks)}  # lo, hi, below, in_range
+
+    for _ in range(max_iters):
+        active = [
+            k for k, (lo, hi, _, in_r) in state.items()
+            if in_r > max_collect and lo < hi
+        ]
+        if not active:
+            break
+        ranges = []
+        for k in active:
+            lo, hi, _, _ = state[k]
+            ranges.append((lo, hi, max(1, (hi - lo + 1 + N_BINS - 1) // N_BINS)))
+        hists = _range_histograms(ds, col, ranges)
+        for k, hist, (lo, hi, width) in zip(active, hists, ranges):
+            below = state[k][2]
+            cum = np.cumsum(hist)
+            b = int(np.searchsorted(cum, k - below + 1))
+            state[k] = [
+                lo + b * width,
+                min(hi, lo + (b + 1) * width - 1),
+                below + (int(cum[b - 1]) if b > 0 else 0),
+                int(hist[b]),
+            ]
+
+    bounds = [(lo, hi) for lo, hi, _, _ in state.values()]
+
+    def narrow(b: pa.Table) -> pa.Table:
+        v = b[col]
+        mask = None
+        for lo, hi in bounds:
+            m = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+            mask = m if mask is None else pc.or_(mask, m)
+        return pa.table({col: v.filter(mask)})
+
+    vals = np.sort(
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()[col]
+        .to_numpy()
+    )
+    out = {}
+    for k, (lo, hi, below, _) in state.items():
+        in_range = vals[(vals >= lo) & (vals <= hi)]
+        out[k] = int(in_range[k - below])
+    return out
 
 
 def distributed_exact_median(
@@ -83,35 +159,17 @@ def distributed_exact_median(
     """Exact median of an int64 column; result matches ``np.median`` /
     DuckDB ``median(BIGINT)`` bit-for-bit (mean of the two middles as a
     float for even N)."""
-    n, lo, hi = _scan_stats(ds, col)
-    k1, k2 = (n - 1) // 2, n // 2  # 0-indexed global order stats
-    below = 0  # values strictly below the current [lo, hi] range
-    in_range = n
-
-    for _ in range(max_iters):
-        if in_range <= max_collect or lo == hi:
-            break
-        width = max(1, (hi - lo + 1 + N_BINS - 1) // N_BINS)
-        hist = _range_histogram(ds, col, lo, hi, width)
-        cum = np.cumsum(hist)
-        b1 = int(np.searchsorted(cum, k1 - below + 1))
-        b2 = int(np.searchsorted(cum, k2 - below + 1))
-        below += int(cum[b1 - 1]) if b1 > 0 else 0
-        new_lo = lo + b1 * width
-        new_hi = min(hi, lo + (b2 + 1) * width - 1)
-        in_range = int(cum[b2] - (cum[b1 - 1] if b1 > 0 else 0))
-        lo, hi = new_lo, new_hi
-
-    def narrow(b: pa.Table) -> pa.Table:
-        v = b[col]
-        mask = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
-        return pa.table({col: v.filter(mask)})
-
-    vals = np.sort(
-        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()[col]
-        .to_numpy()
+    stats = _scan_stats(ds, col)
+    k1, k2 = (stats[0] - 1) // 2, stats[0] // 2
+    res = distributed_order_stats(
+        ds, col, [k1, k2], max_collect=max_collect, max_iters=max_iters, stats=stats
     )
-    v1 = int(vals[k1 - below])
-    v2 = int(vals[k2 - below])
-    return (v1 + v2) / 2.0
+    return (res[k1] + res[k2]) / 2.0
+
+
+def quantile_disc_k(n: int, q: float) -> int:
+    """DuckDB ``quantile_disc`` index convention: ceil(q*n) - 1, 0-indexed
+    (verified empirically against DuckDB 1.x for n=10, 11)."""
+    import math
+
+    return max(0, math.ceil(q * n) - 1)

@@ -520,6 +520,108 @@ def q_events_value_median(sf_dir: str):
     return pa.table({"median_value": pa.array([med], pa.float64())})
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact p25/p50/p75/p95 (quantile_disc order-stat semantics) via the
+    shared-scan histogram select-kth — all four quantiles cost ~3 scans
+    total, nothing bigger than a histogram reaches the driver."""
+    from ocr_processor_ray.functions.quantile import (
+        _scan_stats,
+        distributed_order_stats,
+        quantile_disc_k,
+    )
+
+    ds = _read(sf_dir, "events", ["value"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {"value_c": pc.cast(pc.round(pc.multiply(b["value"], 100)), pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    stats = _scan_stats(ds, "value_c")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    ks = {q: quantile_disc_k(stats[0], q) for q in qs}
+    res = distributed_order_stats(ds, "value_c", list(ks.values()), stats=stats)
+    return pa.table(
+        {
+            f"p{int(q * 100)}": pa.array([res[ks[q]] / 100.0], pa.float64())
+            for q in qs
+        }
+    )
+
+
+def q_events_topk_per_type(sf_dir: str):
+    """Top-3 events by value per event_type — per-batch local top-k then a
+    tiny combine (#blocks × #types × 3 rows), NOT a whole-group shuffle
+    (5 types would put the entire corpus into 5 tasks)."""
+    from ocr_processor_ray.functions.agg import grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "event_id": b["event_id"],
+                "value_c": pc.cast(pc.round(pc.multiply(b["value"], 100)), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    top = grouped_topk(ds, key="event_type", order_col="value_c", k=3, tiebreak="event_id")
+    return _t(top).select(["event_type", "rank", "event_id"])
+
+
+def q_events_user_median(sf_dir: str):
+    """Exact per-user median — groupby(user).map_groups over scaled ints
+    (group size = one user's events; the all-users global median is the
+    separate histogram-select query)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        cents = (g["value"] * 100).round().astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "median_value": [float(np.median(cents)) / 100.0],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(med, batch_format="pandas")
+
+
+def q_purchase_errors_prev_1h(sf_dir: str):
+    """Range join: for each purchase, how many 'error' events the same
+    user had in the preceding hour (inclusive bounds). Bucketing by the
+    join key co-locates each user's rows; the in-task kernel is a
+    vectorized two-pointer over sorted timestamps — the range-join
+    composition Ray Data lacks natively."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["event_type"], value_set=pa.array(["purchase", "error"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def count_range(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        e = g[g["event_type"] == "error"].sort_values("ts")
+        ets = e["ts"].astype("int64").to_numpy()
+        pts = p["ts"].astype("int64").to_numpy()
+        lo = np.searchsorted(ets, pts - 3600_000000, side="left")
+        hi = np.searchsorted(ets, pts, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy(),
+                "n_errors_1h": (hi - lo).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(count_range, batch_format="pandas")
+
+
 def q_events_asof_purchase(sf_dir: str):
     """As-of join: for each 'error' event, the user's latest prior
     'purchase' event (bucket-partitioned merge_asof — the custom
@@ -858,6 +960,10 @@ QUERIES = {
     "events_sliding_1h": q_events_sliding_1h,
     "building_segment_revenue": q_building_segment_revenue,
     "events_value_median": q_events_value_median,
+    "events_value_quantiles": q_events_value_quantiles,
+    "events_topk_per_type": q_events_topk_per_type,
+    "events_user_median": q_events_user_median,
+    "purchase_errors_prev_1h": q_purchase_errors_prev_1h,
     "events_asof_purchase": q_events_asof_purchase,
     "distinct_event_types": q_distinct_event_types,
     "events_daily_users": q_events_daily_users,
@@ -1082,6 +1188,36 @@ FROM c
     "events_value_median": """
         SELECT median(CAST(round(value * 100) AS BIGINT)) / 100.0 AS median_value
         FROM events
+    """,
+    "events_value_quantiles": """
+        SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)  / 100.0 AS p50,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) / 100.0 AS p75,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) / 100.0 AS p95
+        FROM events
+    """,
+    "events_topk_per_type": """
+        SELECT event_type, rank, event_id FROM (
+            SELECT event_type, event_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id ASC
+                   ) AS BIGINT) AS rank
+            FROM events
+        ) WHERE rank <= 3
+    """,
+    "events_user_median": """
+        SELECT user_id,
+               median(CAST(round(value * 100) AS BIGINT)) / 100.0 AS median_value
+        FROM events GROUP BY user_id
+    """,
+    "purchase_errors_prev_1h": """
+        SELECT l.event_id, CAST(count(r.event_id) AS BIGINT) AS n_errors_1h
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+        GROUP BY l.event_id
     """,
     "events_asof_purchase": """
         SELECT l.event_id, l.user_id,

@@ -12,6 +12,18 @@ A partition write is atomic: data + manifest land in a temp directory
 first, then one ``os.replace`` renames it into place — a crashed run
 leaves either nothing or a complete partition, never a torn one (the
 idempotence analog of the reference's archive skip, ocr_combined.py:51-56,150).
+
+DEPLOYMENT REQUIREMENT — shared POSIX filesystem: partition writes run
+inside Ray tasks on whichever node hosts them, via node-local
+``os.makedirs``/``os.replace``. On a multi-node cluster ``out_dir`` MUST
+be a filesystem every worker and the driver see identically (NFS, Lustre,
+a FUSE-mounted object store) — with node-local disks, partitions would
+land scattered across workers and the driver's ``read_manifests`` would
+silently see a subset, breaking resume and the job summary. The atomic
+``os.replace`` additionally requires rename atomicity on that filesystem
+(POSIX rename semantics; object-store FUSE mounts vary). For S3-style
+output without a shared mount, route writes through ``pyarrow.fs`` and
+replace the rename with a manifest-last commit protocol.
 """
 
 from __future__ import annotations
