@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "events_asof_purchase",
     "events_daily_users",
     "building_segment_revenue",
+    "events_value_median",
+    "events_value_quantiles",
+    "events_topk_per_type",
+    "purchase_errors_prev_1h",
 ]
 
 

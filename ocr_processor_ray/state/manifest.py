@@ -50,9 +50,25 @@ def write_partition_atomic(
     counters: dict,
     lineage: dict | None = None,
 ) -> dict:
-    """Write one partition atomically; return its manifest dict."""
+    """Write one partition atomically; return its manifest dict.
+
+    ``attempts`` in the manifest is the retry counter (the partition-level
+    analog of the reference's per-file retry_count,
+    database_manager.py:109): it counts this write plus every earlier
+    attempt evidenced on disk — a completed manifest being overwritten,
+    or a stale ``.tmp`` left by a crashed attempt."""
     final_dir = _part_dir(out_dir, part)
     tmp_dir = final_dir + ".tmp"
+    prior_attempts = 0
+    old_manifest = os.path.join(final_dir, MANIFEST_NAME)
+    if os.path.exists(old_manifest):
+        try:
+            with open(old_manifest) as f:
+                prior_attempts = json.load(f).get("attempts", 1)
+        except (OSError, json.JSONDecodeError):
+            prior_attempts = 1
+    elif os.path.exists(tmp_dir):
+        prior_attempts = 1  # crashed mid-write, no manifest survived
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
@@ -60,6 +76,7 @@ def write_partition_atomic(
     manifest = {
         "part": part,
         "rows": table.num_rows,
+        "attempts": prior_attempts + 1,
         "counters": counters,
         "lineage": lineage or {},
     }

@@ -96,3 +96,68 @@ class TestCheckpoint:
         assert s2["partitions_written"] == []
         assert set(s2["partitions_skipped"]) == set(s1["partitions_written"])
         assert s2["counters"] == s1["counters"]
+
+
+class TestRetryAccounting:
+    CFG = ExtractConfig(num_output_partitions=8)
+
+    def test_attempts_counter(self, transcripts_small, tmp_path):
+        """Manifests carry a partition-level retry counter (the reference's
+        per-file retry_count analog): 1 on a clean write, incremented when
+        a crashed attempt (stale .tmp) or overwrite preceded it."""
+        import json
+
+        from ocr_processor_ray.state.checkpoint import run_checkpointed
+        from ocr_processor_ray.state.manifest import read_manifests
+
+        out = str(tmp_path / "out")
+        run_checkpointed(transcripts_small, out, self.CFG)
+        ms = {m["part"]: m for m in read_manifests(out)}
+        assert all(m["attempts"] == 1 for m in ms.values())
+
+        # crash one partition (manifest lost, stale tmp left) and rerun
+        victim = sorted(ms)[0]
+        pdir = os.path.join(out, f"part={victim:05d}")
+        shutil.rmtree(pdir)
+        os.makedirs(pdir + ".tmp", exist_ok=True)
+        run_checkpointed(transcripts_small, out, self.CFG)
+        ms2 = {m["part"]: m for m in read_manifests(out)}
+        assert ms2[victim]["attempts"] == 2
+        assert all(m["attempts"] == 1 for p, m in ms2.items() if p != victim)
+
+
+class TestOverlaySink:
+    def test_overlay_svg_deterministic_and_valid(self, transcripts_small, tmp_path):
+        import xml.etree.ElementTree as ET
+
+        from ocr_processor_ray.config import ExtractConfig as EC
+        from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+        from ocr_processor_ray.stages.overlay import (
+            render_span_overlay_svg,
+            write_overlays,
+        )
+
+        ds = run_extract(transcripts_small, EC(mode="visual"))
+        out = str(tmp_path / "overlays")
+        n = write_overlays(ds, out)
+        files = sorted(os.listdir(out))
+        assert n == len(files) > 0
+        # every file parses as XML, and rect count == word-span count
+        sample = os.path.join(out, files[0])
+        with open(sample) as f:
+            svg = f.read()
+        root = ET.fromstring(svg)
+        rects = [e for e in root.iter() if e.tag.endswith("rect")]
+        conv, idx = files[0][:-4].rsplit("_", 1)
+        row = (
+            run_extract(transcripts_small, EC(mode="visual"))
+            .to_pandas()
+            .set_index(["conv_id", "turn_idx"])
+            .loc[(conv, int(idx))]
+        )
+        n_word = sum(1 for s in row["spans"] if s["kind"] == "word")
+        # wrapped spans may emit >1 rect, never fewer
+        assert len(rects) >= n_word > 0
+        # deterministic re-render
+        assert render_span_overlay_svg(row["clean_text"], list(row["spans"])) == \
+               render_span_overlay_svg(row["clean_text"], list(row["spans"]))
