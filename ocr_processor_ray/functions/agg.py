@@ -110,14 +110,16 @@ def two_phase_agg(
 
 
 def _local_topk(
-    batch: pa.Table, key: str, order_col: str, k: int, tiebreak: str
+    batch: pa.Table, key: str, order_col: str, k: int, tiebreak: str,
+    descending: bool = True,
 ) -> pa.Table:
     """Keep each key's top-k rows of ONE batch (vectorized rank filter
-    over the batch sorted by (key, order desc, tiebreak))."""
+    over the batch sorted by (key, order desc/asc, tiebreak))."""
     if batch.num_rows == 0:
         return batch
+    direction = "descending" if descending else "ascending"
     batch = batch.sort_by(
-        [(key, "ascending"), (order_col, "descending"), (tiebreak, "ascending")]
+        [(key, "ascending"), (order_col, direction), (tiebreak, "ascending")]
     )
     karr = batch[key].to_numpy(zero_copy_only=False)
     changed = np.r_[True, karr[1:] != karr[:-1]]
@@ -134,6 +136,7 @@ def grouped_topk(
     k: int,
     tiebreak: str,
     rank_col: str = "rank",
+    descending: bool = True,
 ) -> Dataset:
     """Per-key top-k rows WITHOUT shipping whole groups anywhere.
 
@@ -147,10 +150,10 @@ def grouped_topk(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        return _local_topk(batch, key, order_col, k, tiebreak)
+        return _local_topk(batch, key, order_col, k, tiebreak, descending)
 
     def combine(batch: pa.Table) -> pa.Table:
-        out = _local_topk(batch, key, order_col, k, tiebreak)
+        out = _local_topk(batch, key, order_col, k, tiebreak, descending)
         karr = out[key].to_numpy(zero_copy_only=False)
         changed = np.r_[True, karr[1:] != karr[:-1]] if len(karr) else np.array([], bool)
         starts = np.nonzero(changed)[0]

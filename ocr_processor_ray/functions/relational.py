@@ -233,12 +233,18 @@ def bucketed_join(
     suffix_right: str = "_r",
     l_schema: dict | None = None,
     r_schema: dict | None = None,
+    how: str = "inner",
 ) -> Dataset:
     """Partitioned hash join of two large Datasets on an int64 key.
 
     Exchange volume = both inputs exactly once, keyed by
     ``hash(key) % num_buckets`` (int or string keys).
+    ``how`` ∈ {"inner", "left", "anti"} — "anti" keeps left rows with NO
+    match (the big-big anti-join the resume skip uses at partition
+    granularity, here at row granularity).
     """
+    if how not in ("inner", "left", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
     both, l_cols, r_cols, l_types, r_types = _tagged_bucket_union(
         left, right, on, num_buckets, l_schema, r_schema
     )
@@ -246,13 +252,16 @@ def bucketed_join(
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["_side"] == 0][l_cols]
         rhs = group[group["_side"] == 1][r_cols]
-        return lhs.merge(rhs, on=on, how="inner", suffixes=("", suffix_right))
+        if how == "anti":
+            return lhs[~lhs[on].isin(rhs[on])]
+        return lhs.merge(rhs, on=on, how=how, suffixes=("", suffix_right))
 
     expected = dict(l_types)
-    for c in r_cols:
-        if c == on:
-            continue
-        expected[c + suffix_right if c in l_types else c] = r_types[c]
+    if how != "anti":
+        for c in r_cols:
+            if c == on:
+                continue
+            expected[c + suffix_right if c in l_types else c] = r_types[c]
     return (
         both.groupby("_bucket")
         .map_groups(merge_bucket, batch_format="pandas")

@@ -824,6 +824,98 @@ def q_events_running_sum(sf_dir: str):
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
 
 
+def q_customers_no_urgent_orders(sf_dir: str):
+    """Big-big ANTI join: customers who never placed a 1-URGENT order
+    (bucketed — both sides shuffle once keyed by custkey; no key-set
+    broadcast, so it holds when both sides are huge)."""
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.filter(
+                    pc.equal(b["o_orderpriority"], "1-URGENT")
+                )["o_custkey"]
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = bucketed_join(
+        cust,
+        orders,
+        on="c_custkey",
+        num_buckets=16,
+        how="anti",
+        l_schema={"c_custkey": pa.int64(), "c_mktsegment": pa.string()},
+        r_schema={"c_custkey": pa.int64()},
+    )
+    return out
+
+
+def q_doc_redact(sf_dir: str):
+    """PII-scrub shape: mask a sensitive-token lexicon with [REDACTED]
+    (vectorized RE2 replace — the training-data redaction pass). Counts
+    are emitted so the scrub is auditable."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = r"\b(key|hash|value)\b"
+
+    def redact(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "red_text": pc.replace_substring_regex(
+                    b["text"], pattern=pat, replacement="[REDACTED]"
+                ),
+                "n_redacted": pc.cast(
+                    pc.count_substring_regex(b["text"], pattern=pat), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_docs_hash_sample(sf_dir: str):
+    """Deterministic content-addressed sampling (≈1/8): keep docs whose
+    md5(doc_id) starts with '0' or '1' — reproducible across engines and
+    runs, no RNG state, filter pushes down to every worker."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        keep = [
+            _hl.md5(str(i).encode()).hexdigest()[0] in ("0", "1")
+            for i in b["doc_id"].to_pylist()
+        ]
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """Stratified sample: 5 docs per lang, chosen by smallest md5 hash —
+    per-batch local selection + bounded combine (grouped_topk ascending),
+    never a whole-group shuffle."""
+    import hashlib as _hl
+
+    from ocr_processor_ray.functions.agg import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def h(b: pa.Table) -> pa.Table:
+        hs = [_hl.md5(str(i).encode()).hexdigest() for i in b["doc_id"].to_pylist()]
+        return b.append_column("h", pa.array(hs, pa.string()))
+
+    hashed = ds.map_batches(h, batch_format="pyarrow", zero_copy_batch=True)
+    top = grouped_topk(
+        hashed, key="lang", order_col="h", k=5, tiebreak="doc_id", descending=False
+    )
+    return _t(top).select(["lang", "rank", "doc_id"])
+
+
 # ===================================================================
 # flagship transcripts + multimodal (non-SQL; rows-only driver check)
 # ===================================================================
@@ -968,6 +1060,10 @@ QUERIES = {
     "distinct_event_types": q_distinct_event_types,
     "events_daily_users": q_events_daily_users,
     "approx_distinct_users": q_approx_distinct_users,
+    "customers_no_urgent_orders": q_customers_no_urgent_orders,
+    "doc_redact": q_doc_redact,
+    "docs_hash_sample": q_docs_hash_sample,
+    "docs_stratified_sample": q_docs_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -1233,5 +1329,32 @@ FROM c
         SELECT date_trunc('day', ts) AS day,
                count(DISTINCT user_id) AS n_users
         FROM events GROUP BY date_trunc('day', ts)
+    """,
+    "customers_no_urgent_orders": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+    """,
+    "doc_redact": """
+        SELECT doc_id,
+               regexp_replace(text, '\\b(key|hash|value)\\b', '[REDACTED]', 'g') AS red_text,
+               len(regexp_extract_all(text, '\\b(key|hash|value)\\b')) AS n_redacted
+        FROM documents
+    """,
+    "docs_hash_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    "docs_stratified_sample": """
+        SELECT lang, rank, doc_id FROM (
+            SELECT lang, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS BIGINT) AS rank
+            FROM documents
+        ) WHERE rank <= 5
     """,
 }
