@@ -165,3 +165,34 @@ def grouped_topk(
     return partials.repartition(1).map_batches(
         combine, batch_format="pyarrow", batch_size=None
     )
+
+
+def global_topk(
+    ds: Dataset,
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    descending: bool = True,
+) -> pa.Table:
+    """Top-k rows of the whole dataset WITHOUT a global sort shuffle.
+
+    ``Dataset.sort().limit(k)`` is an all-to-all over every block with a
+    fixed multi-second coordination cost; top-k only needs each block's
+    local top-k (map_batches) and one tiny merge of ≤ #blocks × k rows,
+    which is collected as Arrow refs (no pandas round-trip)."""
+    import ray
+
+    direction = "descending" if descending else "ascending"
+    order = [(order_col, direction), (tiebreak, "ascending")]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        return b.sort_by(order).slice(0, k)
+
+    cands = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    t = pa.concat_tables(
+        [tb for tb in ray.get(cands.to_arrow_refs()) if tb.num_rows],
+        promote_options="default",
+    )
+    return t.sort_by(order).slice(0, k)

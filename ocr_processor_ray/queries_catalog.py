@@ -22,7 +22,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ocr_processor_ray.functions.agg import two_phase_agg
 from ocr_processor_ray.functions.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
@@ -108,18 +107,26 @@ def q_doc_normalize(sf_dir: str):
 
 def q_docs_by_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_chars"),
-        Min("n_chars", alias_name="min_chars"),
-        Max("n_chars", alias_name="max_chars"),
+    return two_phase_agg(
+        ds,
+        ["lang"],
+        [
+            ("n_chars", "count", "n_docs"),
+            ("n_chars", "sum", "sum_chars"),
+            ("n_chars", "min", "min_chars"),
+            ("n_chars", "max", "max_chars"),
+        ],
     )
 
 
 def q_docs_top_sources(sf_dir: str):
+    """Count per source (two-phase hash agg), then sort the tiny result
+    driver-side — #sources rows, no sort shuffle."""
     ds = _read(sf_dir, "documents", ["source"])
-    counts = ds.groupby("source").aggregate(Count(alias_name="n_docs"))
-    return counts.sort(["n_docs", "source"], descending=[True, False]).limit(5)
+    counts = _t(two_phase_agg(ds, ["source"], [("source", "count", "n_docs")]))
+    return counts.sort_by(
+        [("n_docs", "descending"), ("source", "ascending")]
+    ).slice(0, 5)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -230,8 +237,10 @@ def q_events_by_type(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    agg = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value")
+    agg = two_phase_agg(
+        ds,
+        ["event_type"],
+        [("value_c", "count", "n_events"), ("value_c", "sum", "sum_value")],
     )
     return _descale(agg, "sum_value", 100)
 
@@ -245,20 +254,28 @@ def q_events_hourly(sf_dir: str):
         return pa.table({"event_type": b["event_type"], "hour": hour})
 
     ds = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(["event_type", "hour"]).aggregate(Count(alias_name="n_events"))
+    return two_phase_agg(ds, ["event_type", "hour"], [("hour", "count", "n_events")])
 
 
 def q_events_top_users(sf_dir: str):
+    """Per-user totals via two-phase hash agg; the top-10 sort runs
+    driver-side over the #users-row aggregate, not as a shuffle."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
     ds = ds.map_batches(
         lambda b: _scaled_sum_col(b, b["value"], 100, "value_c").drop_columns(["value"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    agg = ds.groupby("user_id").aggregate(
-        Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value")
+    agg = _t(
+        two_phase_agg(
+            ds,
+            ["user_id"],
+            [("value_c", "count", "n_events"), ("value_c", "sum", "sum_value")],
+        )
     )
-    top = agg.sort(["sum_value", "user_id"], descending=[True, False]).limit(10)
+    top = agg.sort_by(
+        [("sum_value", "descending"), ("user_id", "ascending")]
+    ).slice(0, 10)
     return _descale(top, "sum_value", 100)
 
 
@@ -310,11 +327,15 @@ def q1_pricing(sf_dir: str):
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty_c", alias_name="sum_qty"),
-        Sum("base_c", alias_name="sum_base_price"),
-        Sum("disc_c", alias_name="sum_disc_price"),
-        Count(alias_name="count_order"),
+    agg = two_phase_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("qty_c", "sum", "sum_qty"),
+            ("base_c", "sum", "sum_base_price"),
+            ("disc_c", "sum", "sum_disc_price"),
+            ("qty_c", "count", "count_order"),
+        ],
     )
     t = _descale(agg, "sum_base_price", 100)
     t = _descale(t, "sum_disc_price", 10000)
@@ -349,7 +370,9 @@ def q_top_orders_revenue(sf_dir: str):
         batch_format="pyarrow",
     )
     joined = bucketed_join(li_agg, orders, on="l_orderkey", num_buckets=16)
-    top = joined.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(10)
+    from ocr_processor_ray.functions.agg import global_topk
+
+    top = global_topk(joined, "rev_c", 10, "l_orderkey")
     t = _descale(top, "rev_c", 10000)
     t = t.rename_columns(
         ["o_orderkey" if c == "l_orderkey" else ("revenue" if c == "rev_c" else c) for c in t.column_names]
@@ -385,7 +408,7 @@ def q_revenue_by_nation(sf_dir: str):
         ["c_custkey", "n_name"]
     ].rename(columns={"c_custkey": "o_custkey"})
     with_nation = broadcast_join(joined, cust_nation, on="o_custkey")
-    agg = with_nation.groupby("n_name").aggregate(Sum("rev_c", alias_name="revenue"))
+    agg = two_phase_agg(with_nation, ["n_name"], [("rev_c", "sum", "revenue")])
     return _descale(agg, "revenue", 10000)
 
 
@@ -402,15 +425,23 @@ def q_orders_by_status_priority(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    agg = ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
-        Count(alias_name="n_orders"), Sum("price_c", alias_name="sum_price")
+    agg = two_phase_agg(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        [("price_c", "count", "n_orders"), ("price_c", "sum", "sum_price")],
     )
     return _descale(agg, "sum_price", 100)
 
 
 def q_parts_top_retail(sf_dir: str):
+    """Global top-10 by retail price — per-block local top-k + tiny merge
+    (global_topk), not a full sort shuffle."""
+    from ocr_processor_ray.functions.agg import global_topk
+
     ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_retailprice"])
-    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+    return global_topk(ds, "p_retailprice", 10, "p_partkey").select(
+        ["p_partkey", "p_name", "p_brand", "p_retailprice"]
+    )
 
 
 def q_supplier_acctbal_by_nation(sf_dir: str):
@@ -431,8 +462,10 @@ def q_supplier_acctbal_by_nation(sf_dir: str):
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
     nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
     joined = broadcast_join(sup, nation, on="s_nationkey")
-    agg = joined.groupby("n_name").aggregate(
-        Count(alias_name="n_suppliers"), Sum("bal_c", alias_name="sum_acctbal")
+    agg = two_phase_agg(
+        joined,
+        ["n_name"],
+        [("bal_c", "count", "n_suppliers"), ("bal_c", "sum", "sum_acctbal")],
     )
     return _descale(agg, "sum_acctbal", 100)
 
@@ -778,7 +811,7 @@ def q_suppliers_by_region(sf_dir: str):
         ["n_nationkey", "r_name"]
     ].rename(columns={"n_nationkey": "s_nationkey"})
     joined = broadcast_join(sup, nr, on="s_nationkey")
-    return joined.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+    return two_phase_agg(joined, ["r_name"], [("r_name", "count", "n_suppliers")])
 
 
 def q_events_last_week(sf_dir: str):
