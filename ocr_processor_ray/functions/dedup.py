@@ -364,17 +364,34 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------- simhash
 
 
+# per-worker token → ±1 bit-vector cache: word frequency is Zipfian, so
+# the hot vocabulary hashes once per worker instead of once per occurrence
+_SIMHASH_CACHE: dict[str, np.ndarray] = {}
+_SIMHASH_CACHE_MAX = 1 << 20
+
+
+def _token_signs(w: str) -> np.ndarray:
+    v = _SIMHASH_CACHE.get(w)
+    if v is None:
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        v = np.where(bits.astype(bool), np.int64(1), np.int64(-1))
+        if len(_SIMHASH_CACHE) < _SIMHASH_CACHE_MAX:
+            _SIMHASH_CACHE[w] = v
+    return v
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (blake2b token hashes), sign-folded."""
+    words = text.split()
+    if not words:
+        return -(1 << 63)
     acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    val = 0
-    for i in range(64):
-        if acc[i] > 0:
-            val |= 1 << i
+    for w in words:
+        acc += _token_signs(w)
+    val = int(np.bitwise_or.reduce((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)))
     return val - (1 << 63)
 
 
