@@ -105,3 +105,99 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+class ResizeImage:
+    """Actor-pool resize stage (real path would hold libvips from
+    ``__init__``; fake path derives the resized payload + dims
+    deterministically from the source bytes and target box)."""
+
+    def __init__(self, target: tuple[int, int] = (224, 224), fake: bool = True,
+                 payload_col: str = "payload"):
+        if not fake:
+            raise NotImplementedError(
+                "real resize requires PIL/libvips, not present in this "
+                "environment; construct with fake=True for the deterministic stub"
+            )
+        self.target = target
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tw, th = self.target
+        out = []
+        for data in batch[self.payload_col].to_pylist():
+            out.append(
+                hashlib.blake2b(
+                    (data or b"") + f"{tw}x{th}".encode(), digest_size=64
+                ).digest()
+            )
+        return (
+            batch.drop_columns([self.payload_col])
+            .append_column("rs_width", pa.array([tw] * batch.num_rows, pa.int32()))
+            .append_column("rs_height", pa.array([th] * batch.num_rows, pa.int32()))
+            .append_column("payload", pa.array(out, pa.binary()))
+        )
+
+
+def resize_images(ds: Dataset, target=(224, 224), concurrency=(1, 4),
+                  batch_size: int = DEFAULT_MEDIA_BATCH_SIZE) -> Dataset:
+    return ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"target": target, "fake": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSample:
+    """Video → N evenly-spaced frames, exploded to one row per frame
+    (the flat-map shape: a 2-hour video becomes N bounded rows, never one
+    giant decoded array). Real path would hold an ffmpeg context from
+    ``__init__``; fake frames are byte-slices hashed per index."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True,
+                 payload_col: str = "payload"):
+        if not fake:
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg/pyav, not present in this "
+                "environment; construct with fake=True for the deterministic stub"
+            )
+        self.n_frames = n_frames
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, fts, fpay = [], [], [], []
+        for mid, data in zip(
+            batch["media_id"].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            data = data or b""
+            dur_ms = 1000 + (len(data) * 37) % 600000  # fake duration
+            for i in range(self.n_frames):
+                ids.append(mid)
+                fidx.append(i)
+                fts.append(int(i * dur_ms / self.n_frames))
+                fpay.append(
+                    hashlib.blake2b(data + bytes([i]), digest_size=32).digest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "ts_ms": pa.array(fts, pa.int64()),
+                "frame": pa.array(fpay, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds: Dataset, n_frames: int = 4, concurrency=(1, 4),
+                  batch_size: int = DEFAULT_MEDIA_BATCH_SIZE) -> Dataset:
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"n_frames": n_frames, "fake": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

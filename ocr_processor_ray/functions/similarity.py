@@ -213,3 +213,88 @@ def lsh_topk(
     cands = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
     merged = cands.sort(["sim", id_col], descending=[True, False]).limit(k)
     return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+
+
+def _kmeans_cosine(sample: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd on normalized vectors) over a
+    DRIVER-SIDE SAMPLE — the classic IVF training step. The sample is
+    bounded (thousands of rows); the full corpus never leaves the workers."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample.astype(np.float64))
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(
+    ds: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 1231,
+    round_to: int = 5,
+) -> pa.Table:
+    """IVF (inverted-file) approximate top-k — the third ANN path next to
+    brute force and hyperplane LSH.
+
+    Train: spherical k-means on a bounded driver-side sample → ``n_cells``
+    centroids, broadcast once via ``ray.put``. Probe: each batch assigns
+    its vectors to the nearest centroid and scores ONLY vectors whose cell
+    is among the query's ``n_probe`` nearest cells — a fraction
+    ``n_probe/n_cells`` of the corpus does the matmul. At cluster scale
+    the cell id becomes the Parquet partition key so non-probed cells are
+    never read at all (partition pruning); here the filter runs per batch
+    with identical semantics.
+    """
+    import ray
+
+    sample = _batch_matrix(
+        pa.Table.from_pandas(ds.limit(train_sample).to_pandas()), vec_col
+    )
+    centroids = _kmeans_cosine(sample, n_cells, seed)
+    cent_ref = ray.put(centroids)
+
+    q = _normalize(query.astype(np.float64).reshape(1, -1))[0]
+    probe_cells = np.argsort(-(centroids @ q))[:n_probe]
+    probe_set = set(int(c) for c in probe_cells)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+        cells = np.argmax(m @ cents.T, axis=1)
+        mask = np.isin(cells, list(probe_set))
+        if not mask.any():
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        sims = m[mask] @ q
+        ids = np.asarray(batch[id_col])[mask]
+        n = min(k, len(sims))
+        idx = np.argpartition(-sims, n - 1)[:n]
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx], pa.int64()),
+                "sim": pa.array(sims[idx], pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    t = pa.concat_tables(
+        [tb for tb in ray.get(cands.to_arrow_refs()) if tb.num_rows]
+    )
+    t = t.sort_by([("sim", "descending"), (id_col, "ascending")]).slice(0, k)
+    return t.set_column(
+        t.schema.get_field_index("sim"),
+        "sim",
+        pa.array(np.round(t["sim"].to_numpy(), round_to)),
+    )

@@ -215,6 +215,15 @@ def q_ann_topk_lsh(sf_dir: str):
     return lsh_topk(ds, _query_vec(sf_dir), k=10, round_to=4)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF ANN: spherical-kmeans cells trained on a bounded sample,
+    probe only the query's nearest cells (functions/similarity.ivf_topk)."""
+    from ocr_processor_ray.functions.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vec(sf_dir), k=10, n_cells=16, n_probe=6)
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs. This corpus is isotropic random
     (max offdiagonal cosine ≈ 0.48 at sf0.001), so the threshold sits at
@@ -1043,6 +1052,26 @@ def q_media_decode(sf_dir: str):
     return decode_images(ds)
 
 
+def q_media_resize(sf_dir: str):
+    """Multimodal resize stage (stubbed codec; real actor-pool plumbing)."""
+    import ray.data as rd2
+
+    from ocr_processor_ray.functions.multimodal import resize_images, synth_media_table
+
+    ds = rd2.from_arrow(synth_media_table(n=128, seed=7))
+    return resize_images(ds, target=(224, 224))
+
+
+def q_media_frame_sample(sf_dir: str):
+    """Video frame sampling: one row per sampled frame (flat-map explode)."""
+    import ray.data as rd2
+
+    from ocr_processor_ray.functions.multimodal import sample_frames, synth_media_table
+
+    ds = rd2.from_arrow(synth_media_table(n=64, seed=9))
+    return sample_frames(ds, n_frames=4)
+
+
 # ===================================================================
 # registries
 # ===================================================================
@@ -1060,6 +1089,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
@@ -1074,6 +1104,8 @@ QUERIES = {
     "flagship_extract": q_flagship_extract,
     "conversation_docs": q_conversation_docs,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
     "flagship_extract_visual": q_flagship_extract_visual,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_security_scan": q_doc_security_scan,

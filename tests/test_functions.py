@@ -179,6 +179,19 @@ class TestSimilarity:
         assert 0 in approx
         assert len(exact & approx) >= 3  # recall ≥ 0.3 with these params
 
+    def test_ivf_recall_and_determinism(self):
+        from ocr_processor_ray.functions.similarity import brute_force_topk, ivf_topk
+
+        ds, vecs = self._embedding_ds(n=500)
+        q = vecs[0]
+        exact = set(brute_force_topk(ds, q, k=10)["vec_id"].to_pylist())
+        got = ivf_topk(ds, q, k=10, n_cells=16, n_probe=6)
+        ids = got["vec_id"].to_pylist()
+        assert 0 in ids  # the query's own cell is always probed
+        assert len(exact & set(ids)) >= 4  # n_probe/n_cells fraction scanned
+        got2 = ivf_topk(ds, q, k=10, n_cells=16, n_probe=6)
+        assert ids == got2["vec_id"].to_pylist()
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestJoins:
@@ -360,6 +373,32 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             DecodeImage(fake=False)
+
+    def test_resize_and_frame_sample(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.multimodal import (
+            FrameSample,
+            ResizeImage,
+            resize_images,
+            sample_frames,
+            synth_media_table,
+        )
+
+        rs = resize_images(rd.from_arrow(synth_media_table(n=16)), target=(64, 48))
+        df = rs.to_pandas().sort_values("media_id", ignore_index=True)
+        assert (df["rs_width"] == 64).all() and (df["rs_height"] == 48).all()
+        assert df["payload"].map(len).eq(64).all()
+
+        fr = sample_frames(rd.from_arrow(synth_media_table(n=8)), n_frames=4)
+        fdf = fr.to_pandas()
+        assert len(fdf) == 32  # one row per (video, frame)
+        assert set(fdf["frame_idx"]) == {0, 1, 2, 3}
+        assert fdf.groupby("media_id")["ts_ms"].is_monotonic_increasing.all()
+
+        for cls in (ResizeImage, FrameSample):
+            with pytest.raises(NotImplementedError):
+                cls(fake=False)
 
 
 @pytest.mark.usefixtures("ray_session")
