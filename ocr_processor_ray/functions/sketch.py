@@ -79,3 +79,63 @@ def approx_distinct(ds: Dataset, column: str) -> int:
     for row in partials.take_all():  # one tiny row per batch
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return round(hll_estimate(merged))
+
+
+# ------------------------------------------------------------- count-min
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 14  # 16k counters × 4 rows × 8 B = 512 KB per sketch
+
+
+def _cms_hash(values: list, row: int) -> np.ndarray:
+    """Row-seeded 64-bit hashes → column indices (deterministic)."""
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(
+                    str(v).encode("utf-8"), digest_size=8, salt=bytes([row] * 8)
+                ).digest(),
+                "big",
+            )
+            % CMS_WIDTH
+            for v in values
+        ),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+def cms_partial(values: list) -> np.ndarray:
+    """Count-Min matrix (int64[CMS_DEPTH, CMS_WIDTH]) for one batch.
+
+    Sketches merge by elementwise ADDITION — the two-phase pattern:
+    one small matrix per batch, summed in a tiny fold, regardless of how
+    many billions of items streamed through."""
+    m = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    if not values:
+        return m
+    for r in range(CMS_DEPTH):
+        np.add.at(m[r], _cms_hash(values, r), 1)
+    return m
+
+
+def cms_query(m: np.ndarray, value) -> int:
+    """Point frequency estimate: min over rows (never underestimates)."""
+    return int(min(m[r, _cms_hash([value], r)[0]] for r in range(CMS_DEPTH)))
+
+
+def approx_frequencies(ds: Dataset, column: str, probes: list) -> dict:
+    """Estimated frequency of each probe value via a merged Count-Min
+    sketch. One pass; exchange volume = one 512 KB matrix per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = cms_partial(batch[column].to_pylist())
+        return pa.table({"cms": pa.array([m.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for row in partials.take_all():  # one tiny row per batch
+        merged += np.frombuffer(row["cms"], dtype=np.int64).reshape(
+            CMS_DEPTH, CMS_WIDTH
+        )
+    return {p: cms_query(merged, p) for p in probes}

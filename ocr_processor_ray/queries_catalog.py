@@ -736,6 +736,29 @@ def q_approx_distinct_users(sf_dir: str):
     return pa.table({"n_users_approx": pa.array([n], pa.int64())})
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_approx_event_type_freq(sf_dir: str):
+    """Count-Min sketch point-frequency estimates for the event-type enum.
+
+    Exchange volume is one 512 KB matrix per batch regardless of row
+    count; with 5 distinct values in a 16k-wide depth-4 sketch there are
+    no collisions, so the (deterministic) estimate equals the exact
+    count — which is why this approximate operator can carry an exact
+    DuckDB oracle."""
+    from ocr_processor_ray.functions.sketch import approx_frequencies
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    freqs = approx_frequencies(ds, "event_type", EVENT_TYPES)
+    return pa.table(
+        {
+            "event_type": pa.array(EVENT_TYPES, pa.string()),
+            "n_approx": pa.array([freqs[t] for t in EVENT_TYPES], pa.int64()),
+        }
+    )
+
+
 # ===================================================================
 # validation / security scan (O12/O14/O15)
 # ===================================================================
@@ -917,6 +940,25 @@ def q_doc_redact(sf_dir: str):
         )
 
     return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_docs_top_words(sf_dir: str):
+    """Global top-20 words by frequency: vectorized Arrow word explode
+    (flat-map), two-phase hash count over the full vocabulary (auto-shards
+    beyond one worker), then global_topk over the per-word counts —
+    never a driver-side sort of the vocabulary."""
+    from ocr_processor_ray.functions.agg import global_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
+        words = words.filter(pc.not_equal(words, ""))
+        return pa.table({"word": words})
+
+    words = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    counts = two_phase_agg(words, ["word"], [("word", "count", "n")])
+    return global_topk(counts, "n", 20, "word")
 
 
 def q_docs_hash_sample(sf_dir: str):
@@ -1125,8 +1167,10 @@ QUERIES = {
     "distinct_event_types": q_distinct_event_types,
     "events_daily_users": q_events_daily_users,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_event_type_freq": q_approx_event_type_freq,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "doc_redact": q_doc_redact,
+    "docs_top_words": q_docs_top_words,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_stratified_sample": q_docs_stratified_sample,
 }
@@ -1411,6 +1455,20 @@ FROM c
     "docs_hash_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    "approx_event_type_freq": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_approx
+        FROM events
+        WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+        GROUP BY event_type
+    """,
+    "docs_top_words": """
+        SELECT word, n FROM (
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+                  FROM documents)
+            GROUP BY word
+        ) ORDER BY n DESC, word ASC LIMIT 20
     """,
     "docs_stratified_sample": """
         SELECT lang, rank, doc_id FROM (

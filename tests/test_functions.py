@@ -498,3 +498,36 @@ class TestSketch:
         r1, r2 = hll_registers(range(1000)), hll_registers(range(1000))
         assert (r1 == r2).all()
         assert hll_estimate(r1) == hll_estimate(r2)
+
+    def test_cms_never_underestimates(self):
+        from ocr_processor_ray.functions.sketch import cms_partial, cms_query
+
+        true = {"a": 100, "b": 37, "c": 1}
+        vals = [k for k, n in true.items() for _ in range(n)]
+        m = cms_partial(vals)
+        for k, n in true.items():
+            assert cms_query(m, k) >= n
+
+    def test_cms_merge_equals_single_pass(self):
+        import numpy as np
+
+        from ocr_processor_ray.functions.sketch import cms_partial, cms_query
+
+        vals = [f"v{i % 50}" for i in range(2000)]
+        whole = cms_partial(vals)
+        merged = cms_partial(vals[:700]) + cms_partial(vals[700:])
+        assert np.array_equal(whole, merged)
+        assert cms_query(merged, "v0") == cms_query(whole, "v0")
+
+    def test_approx_frequencies_exact_on_small_enum(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.sketch import approx_frequencies
+
+        true = {"click": 300, "view": 150, "error": 7}
+        vals = [k for k, n in true.items() for _ in range(n)]
+        ds = rd.from_arrow(pa.table({"t": pa.array(vals, pa.string())}))
+        est = approx_frequencies(ds, "t", list(true) + ["absent"])
+        for k, n in true.items():
+            assert est[k] == n
+        assert est["absent"] == 0
