@@ -156,6 +156,56 @@ def embedding_near_dup_pairs(
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
 
 
+def exact_near_dup_pairs(
+    ds: Dataset,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """EXACT all-pairs cosine similarity join: (id_a < id_b, cos ≥ threshold).
+
+    Broadcast-small-side design: the normalized matrix is built once and
+    ``ray.put`` once; each actor reads it in ``__init__`` and every batch
+    does a single matmul against it — exchange volume is the input
+    batches only. The O(n²) compute is inherent to an *exact* similarity
+    join; this is the oracle-checkable baseline, and
+    ``embedding_near_dup_pairs`` (LSH) is the scale path once the matrix
+    no longer fits a worker's heap.
+
+    Output carries pair ids only (no float column) so results compare
+    bit-exactly across engines; boundary safety requires the corpus to
+    have no pair within float-kernel drift (~1e-6) of the threshold.
+    """
+    import ray
+
+    t = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    ids_all = np.asarray(t[id_col].combine_chunks())
+    m_all = _normalize(_batch_matrix(t, vec_col).astype(np.float64))
+    ids_ref, m_ref = ray.put(ids_all), ray.put(m_all)
+
+    class Pairs:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+            self.m = ray.get(m_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bm = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+            bids = np.asarray(batch[id_col])
+            sims = bm @ self.m.T
+            mask = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
+            r, c = np.nonzero(mask)
+            return pa.table(
+                {
+                    "id_a": pa.array(bids[r], pa.int64()),
+                    "id_b": pa.array(self.ids[c], pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        Pairs, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 _HYPERPLANE_SEED = 977
 
 

@@ -234,6 +234,17 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(ds, threshold=0.45)
 
 
+def q_embedding_pairs_exact(sf_dir: str):
+    """Exact all-pairs cosine similarity join (oracle-checkable, unlike
+    the LSH variant whose recall < 1 at this near-orthogonal threshold).
+    Nearest pair-cosine to the 0.45 threshold is ≥ 5e-4 away at sf0.001
+    and sf0.01, so float-kernel drift cannot flip membership."""
+    from ocr_processor_ray.functions.similarity import exact_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return exact_near_dup_pairs(ds, threshold=0.45)
+
+
 # ===================================================================
 # events — aggregates, windows, sessions
 # ===================================================================
@@ -1133,6 +1144,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_pairs_exact": q_embedding_pairs_exact,
     "events_by_type": q_events_by_type,
     "events_hourly": q_events_hourly,
     "events_top_users": q_events_top_users,
@@ -1455,6 +1467,12 @@ FROM c
     "docs_hash_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    "embedding_pairs_exact": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
     """,
     "approx_event_type_freq": """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_approx
