@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "events_value_quantiles",
     "events_topk_per_type",
     "purchase_errors_prev_1h",
+    "docs_top_words",
+    "embedding_pairs_exact",
 ]
 
 

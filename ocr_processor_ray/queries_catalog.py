@@ -747,6 +747,25 @@ def q_approx_distinct_users(sf_dir: str):
     return pa.table({"n_users_approx": pa.array([n], pa.int64())})
 
 
+def q_events_value_quantiles_approx(sf_dir: str):
+    """t-digest approximate quantiles: ONE streaming pass (bounded
+    centroid set per batch, one tiny driver fold) — the scale path next
+    to the exact multi-pass select-kth behind events_value_quantiles.
+    No SQL oracle by nature; tests/test_functions.py bounds the rank
+    error vs numpy and the oracle-checked exact query bounds it here."""
+    from ocr_processor_ray.functions.sketch import approx_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    qs = [0.25, 0.5, 0.75, 0.99]
+    est = approx_quantiles(ds, "value", qs)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value_approx": pa.array([round(est[q], 4) for q in qs], pa.float64()),
+        }
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1180,6 +1199,7 @@ QUERIES = {
     "events_daily_users": q_events_daily_users,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_event_type_freq": q_approx_event_type_freq,
+    "events_value_quantiles_approx": q_events_value_quantiles_approx,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "doc_redact": q_doc_redact,
     "docs_top_words": q_docs_top_words,

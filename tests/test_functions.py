@@ -531,3 +531,48 @@ class TestSketch:
         for k, n in true.items():
             assert est[k] == n
         assert est["absent"] == 0
+
+    def test_tdigest_rank_error_bounded(self):
+        import numpy as np
+
+        from ocr_processor_ray.functions.sketch import (
+            td_merge,
+            td_partial,
+            td_quantile,
+        )
+
+        rng = np.random.RandomState(7)
+        v = rng.lognormal(0, 1, 50000)
+        parts = [td_partial(v[i : i + 4000]) for i in range(0, len(v), 4000)]
+        m, w = td_merge(parts)
+        assert len(m) < 500  # bounded regardless of input size
+        assert w.sum() == len(v)
+        sv = np.sort(v)
+        for q in [0.01, 0.25, 0.5, 0.9, 0.99]:
+            est = td_quantile(m, w, q)
+            rank = np.searchsorted(sv, est) / len(sv)
+            assert abs(rank - q) < 0.01, (q, rank)
+
+    def test_tdigest_merge_order_invariant(self):
+        import numpy as np
+
+        from ocr_processor_ray.functions.sketch import td_merge, td_partial
+
+        v = np.arange(10000, dtype=np.float64)
+        parts = [td_partial(v[i : i + 1000]) for i in range(0, len(v), 1000)]
+        m1, w1 = td_merge(parts)
+        m2, w2 = td_merge(parts[::-1])
+        # merge folds a sorted concat, so ordering of partials is irrelevant
+        assert np.allclose(m1, m2) and np.allclose(w1, w2)
+
+    def test_approx_quantiles_dataset(self):
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.sketch import approx_quantiles
+
+        v = np.linspace(0.0, 100.0, 20001)
+        ds = rd.from_arrow(pa.table({"x": pa.array(v, pa.float64())}))
+        est = approx_quantiles(ds, "x", [0.5, 0.9])
+        assert abs(est[0.5] - 50.0) < 0.5
+        assert abs(est[0.9] - 90.0) < 0.5
