@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "purchase_errors_prev_1h",
     "docs_top_words",
     "embedding_pairs_exact",
+    "corpus_prep",
 ]
 
 

@@ -747,6 +747,39 @@ def q_approx_distinct_users(sf_dir: str):
     return pa.table({"n_users_approx": pa.array([n], pa.int64())})
 
 
+def q_corpus_prep(sf_dir: str):
+    """End-to-end training-data prep: normalize (N1) → quality features
+    → language + length gates → exact dedup (D1) — the whole corpus-prep
+    path in ONE streaming pipeline with a single tiny shuffle (the dedup
+    fold), oracle-checked stage-for-stage in DuckDB. Gates use integer /
+    categorical predicates so no float boundary can drift between
+    engines."""
+    from ocr_processor_ray.extract.normalize import normalize_inline
+    from ocr_processor_ray.functions.dedup import exact_dedup_groups
+    from ocr_processor_ray.functions.text import add_quality_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        out = [normalize_inline(t) for t in b["text"].to_pylist()]
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "norm_text": pa.array(out, pa.string()),
+            }
+        )
+        t = add_quality_features(t, column="norm_text")
+        keep = pc.and_(
+            pc.greater_equal(t["n_words"], pa.scalar(30, pa.int64())),
+            pc.is_in(t["lang"], value_set=pa.array(["en", "es", "fr"])),
+        )
+        return t.filter(keep).select(["doc_id", "norm_text"])
+
+    gated = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup_groups(gated, text_col="norm_text")
+
+
 def q_events_value_quantiles_approx(sf_dir: str):
     """t-digest approximate quantiles: ONE streaming pass (bounded
     centroid set per batch, one tiny driver fold) — the scale path next
@@ -1200,6 +1233,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "approx_event_type_freq": q_approx_event_type_freq,
     "events_value_quantiles_approx": q_events_value_quantiles_approx,
+    "corpus_prep": q_corpus_prep,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "doc_redact": q_doc_redact,
     "docs_top_words": q_docs_top_words,
@@ -1487,6 +1521,21 @@ FROM c
     "docs_hash_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    "corpus_prep": """
+        WITH norm AS (
+            SELECT doc_id, lang,
+                   trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                        '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                        '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        ), gated AS (
+            SELECT doc_id, norm_text FROM norm
+            WHERE len(regexp_extract_all(norm_text, '\\S+')) >= 30
+              AND lang IN ('en', 'es', 'fr')
+        )
+        SELECT md5(norm_text) AS h, min(doc_id) AS doc_id, count(*) AS n
+        FROM gated GROUP BY md5(norm_text)
     """,
     "embedding_pairs_exact": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
