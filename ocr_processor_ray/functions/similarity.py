@@ -183,27 +183,24 @@ def exact_near_dup_pairs(
     m_all = _normalize(_batch_matrix(t, vec_col).astype(np.float64))
     ids_ref, m_ref = ray.put(ids_all), ray.put(m_all)
 
-    class Pairs:
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
-            self.m = ray.get(m_ref)
+    def pairs(batch: pa.Table) -> pa.Table:
+        # ray.get on a task is a zero-copy object-store read; reused
+        # worker processes keep the plasma mapping warm, so a task pool
+        # beats paying actor-pool startup for the broadcast state.
+        ids, m = ray.get(ids_ref), ray.get(m_ref)
+        bm = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+        bids = np.asarray(batch[id_col])
+        sims = bm @ m.T
+        mask = (sims >= threshold) & (bids[:, None] < ids[None, :])
+        r, c = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": pa.array(bids[r], pa.int64()),
+                "id_b": pa.array(ids[c], pa.int64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bm = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
-            bids = np.asarray(batch[id_col])
-            sims = bm @ self.m.T
-            mask = (sims >= threshold) & (bids[:, None] < self.ids[None, :])
-            r, c = np.nonzero(mask)
-            return pa.table(
-                {
-                    "id_a": pa.array(bids[r], pa.int64()),
-                    "id_b": pa.array(self.ids[c], pa.int64()),
-                }
-            )
-
-    return ds.map_batches(
-        Pairs, concurrency=(1, 4), batch_format="pyarrow", zero_copy_batch=True
-    )
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _HYPERPLANE_SEED = 977
