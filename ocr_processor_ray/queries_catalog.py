@@ -1024,6 +1024,56 @@ def q_docs_top_words(sf_dir: str):
     return global_topk(counts, "n", 20, "word")
 
 
+def q_word_postings(sf_dir: str):
+    """Inverted-index build for frequent terms: explode (word, doc_id)
+    pairs, distinct them with a two-phase hash agg, then ONE
+    groupby(word) shuffle whose exchange volume is the distinct pairs —
+    the canonical index-build shape. Only terms with document frequency
+    ≥ 20% of the corpus are emitted (bounded output); postings are a
+    sorted comma-joined string so results hash identically across
+    engines."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count — no scan
+    min_df = math.ceil(0.2 * n_docs)
+
+    def explode(b: pa.Table) -> pa.Table:
+        words_list = pc.utf8_split_whitespace(b["text"])
+        lengths = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(np.asarray(b["doc_id"]), lengths)
+        t = pa.table(
+            {
+                "word": pc.list_flatten(words_list),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+        return t.filter(pc.not_equal(t["word"], ""))
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = two_phase_agg(pairs, ["word", "doc_id"], [("doc_id", "count", "_tf")])
+
+    def build(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())
+        if len(ids) < min_df:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "word": pa.array([g["word"][0].as_py()], pa.string()),
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array([",".join(map(str, ids))], pa.string()),
+            }
+        )
+
+    return distinct.groupby("word").map_groups(build, batch_format="pyarrow")
+
+
 def q_docs_hash_sample(sf_dir: str):
     """Deterministic content-addressed sampling (≈1/8): keep docs whose
     md5(doc_id) starts with '0' or '1' — reproducible across engines and
@@ -1237,6 +1287,7 @@ QUERIES = {
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "doc_redact": q_doc_redact,
     "docs_top_words": q_docs_top_words,
+    "word_postings": q_word_postings,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_stratified_sample": q_docs_stratified_sample,
 }
@@ -1548,6 +1599,17 @@ FROM c
         FROM events
         WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
         GROUP BY event_type
+    """,
+    "word_postings": """
+        WITH pairs AS (
+            SELECT DISTINCT word, doc_id FROM (
+                SELECT unnest(regexp_extract_all(text, '\\S+')) AS word, doc_id
+                FROM documents)
+        )
+        SELECT word, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM pairs GROUP BY word
+        HAVING count(*) >= CEIL(0.2 * (SELECT count(*) FROM documents))
     """,
     "docs_top_words": """
         SELECT word, n FROM (
