@@ -66,9 +66,39 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def tree_fold(
+    partials: Dataset,
+    merge_batch,
+    fan_in: int = 64,
+    driver_max: int = 256,
+) -> list:
+    """Fold one-sketch-per-batch rows WITHOUT shipping O(#batches) rows
+    to the driver: repeated ``map_batches(merge, batch_size=fan_in)``
+    levels (each merges up to ``fan_in`` sketch rows into one) until at
+    most ``driver_max`` rows remain, which the caller folds in-process.
+    At 10^6 input blocks and the defaults the driver receives ≤ 256
+    rows after two distributed levels instead of a terabyte of partials.
+    Intermediate levels are materialized — they hold only sketch rows."""
+    ds = partials.materialize()
+    while ds.count() > driver_max:
+        ds = ds.map_batches(
+            merge_batch, batch_size=fan_in, batch_format="pyarrow"
+        ).materialize()
+    return ds.take_all()
+
+
+def _hll_merge_batch(b: pa.Table) -> pa.Table:
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    for buf in b["regs"].to_pylist():
+        regs = np.maximum(regs, np.frombuffer(buf, dtype=np.uint8))
+    return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+
 def approx_distinct(ds: Dataset, column: str) -> int:
     """Approximate COUNT(DISTINCT column): per-batch HLL partials merged
-    by elementwise max (sketches are designed to be mergeable)."""
+    by elementwise max (sketches are designed to be mergeable); the
+    merge runs as a distributed tree fold, so driver traffic is bounded
+    regardless of block count."""
 
     def partial(batch: pa.Table) -> pa.Table:
         regs = hll_registers(batch[column].to_pylist())
@@ -76,7 +106,7 @@ def approx_distinct(ds: Dataset, column: str) -> int:
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = np.zeros(HLL_M, dtype=np.uint8)
-    for row in partials.take_all():  # one tiny row per batch
+    for row in tree_fold(partials, _hll_merge_batch):
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return round(hll_estimate(merged))
 
@@ -124,9 +154,17 @@ def cms_query(m: np.ndarray, value) -> int:
     return int(min(m[r, _cms_hash([value], r)[0]] for r in range(CMS_DEPTH)))
 
 
+def _cms_merge_batch(b: pa.Table) -> pa.Table:
+    m = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for buf in b["cms"].to_pylist():
+        m += np.frombuffer(buf, dtype=np.int64).reshape(CMS_DEPTH, CMS_WIDTH)
+    return pa.table({"cms": pa.array([m.tobytes()], pa.binary())})
+
+
 def approx_frequencies(ds: Dataset, column: str, probes: list) -> dict:
     """Estimated frequency of each probe value via a merged Count-Min
-    sketch. One pass; exchange volume = one 512 KB matrix per batch."""
+    sketch. One pass; exchange volume = one 512 KB matrix per batch,
+    tree-folded distributed so the driver never sums #batches matrices."""
 
     def partial(batch: pa.Table) -> pa.Table:
         m = cms_partial(batch[column].to_pylist())
@@ -134,7 +172,7 @@ def approx_frequencies(ds: Dataset, column: str, probes: list) -> dict:
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
-    for row in partials.take_all():  # one tiny row per batch
+    for row in tree_fold(partials, _cms_merge_batch):
         merged += np.frombuffer(row["cms"], dtype=np.int64).reshape(
             CMS_DEPTH, CMS_WIDTH
         )
@@ -189,8 +227,11 @@ def td_partial(values: np.ndarray) -> tuple:
 
 def td_merge(parts: list) -> tuple:
     """Merge centroid sets by concat + re-compress (mergeable sketch)."""
-    ms = np.concatenate([p[0] for p in parts if len(p[0])])
-    ws = np.concatenate([p[1] for p in parts if len(p[0])])
+    nonempty = [p for p in parts if len(p[0])]
+    if not nonempty:
+        return np.array([]), np.array([])
+    ms = np.concatenate([p[0] for p in nonempty])
+    ws = np.concatenate([p[1] for p in nonempty])
     return td_compress(ms, ws)
 
 
@@ -203,11 +244,25 @@ def td_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
     return float(np.interp(target, cum, means))
 
 
+def _td_merge_batch(b: pa.Table) -> pa.Table:
+    parts = [
+        (np.frombuffer(m, dtype=np.float64), np.frombuffer(w, dtype=np.float64))
+        for m, w in zip(b["m"].to_pylist(), b["w"].to_pylist())
+    ]
+    m, w = td_merge(parts)
+    return pa.table(
+        {
+            "m": pa.array([m.tobytes()], pa.binary()),
+            "w": pa.array([w.tobytes()], pa.binary()),
+        }
+    )
+
+
 def approx_quantiles(ds: Dataset, column: str, qs: list) -> dict:
     """Approximate quantiles via merged t-digest: one bounded centroid
-    set per batch (<= ~2*TD_DELTA rows of 16 B), folded once on the
-    driver. ONE streaming pass regardless of row count — the scale path
-    next to functions/quantile's exact multi-pass select-kth."""
+    set per batch (<= ~2*TD_DELTA rows of 16 B), tree-folded
+    distributed. ONE streaming pass regardless of row count — the scale
+    path next to functions/quantile's exact multi-pass select-kth."""
 
     def partial(batch: pa.Table) -> pa.Table:
         m, w = td_partial(batch[column].to_numpy(zero_copy_only=False))
@@ -221,7 +276,7 @@ def approx_quantiles(ds: Dataset, column: str, qs: list) -> dict:
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     parts = [
         (np.frombuffer(r["m"], dtype=np.float64), np.frombuffer(r["w"], dtype=np.float64))
-        for r in partials.take_all()  # one tiny row per batch
+        for r in tree_fold(partials, _td_merge_batch)
     ]
     m, w = td_merge(parts) if parts else (np.array([]), np.array([]))
     return {q: td_quantile(m, w, q) for q in qs}

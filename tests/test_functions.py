@@ -565,6 +565,42 @@ class TestSketch:
         # merge folds a sorted concat, so ordering of partials is irrelevant
         assert np.allclose(m1, m2) and np.allclose(w1, w2)
 
+    def test_tree_fold_multi_level_matches_flat_fold(self):
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.sketch import (
+            HLL_M,
+            _hll_merge_batch,
+            hll_estimate,
+            hll_registers,
+            tree_fold,
+        )
+
+        vals = [i % 700 for i in range(6000)]
+        # many tiny blocks -> one partial row per block
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(24)
+        partials = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "regs": pa.array(
+                        [hll_registers(b["v"].to_pylist()).tobytes()], pa.binary()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        # force two distributed levels: fan_in=4 over 24 rows, cap 2
+        rows = tree_fold(partials, _hll_merge_batch, fan_in=4, driver_max=2)
+        assert len(rows) <= 2
+        merged = np.zeros(HLL_M, dtype=np.uint8)
+        for r in rows:
+            merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+        flat = hll_registers(vals)
+        assert np.array_equal(merged, flat)  # max-merge is order-invariant
+        assert round(hll_estimate(merged)) == round(hll_estimate(flat))
+
     def test_approx_quantiles_dataset(self):
         import numpy as np
         import ray.data as rd
