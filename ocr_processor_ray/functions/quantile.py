@@ -76,7 +76,13 @@ def _range_histograms(
             }
         )
 
-    p = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    # fold the sparse per-batch counts with the distributed two-phase
+    # aggregate: the driver receives <= sum(n_bins) rows total, never
+    # O(#batches) rows of partials
+    from ocr_processor_ray.functions.agg import two_phase_agg
+
+    partials = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    p = two_phase_agg(partials, ["ridx", "bin"], [("cnt", "sum", "cnt")]).to_pandas()
     hists = [np.zeros(nb, dtype=np.int64) for nb in n_bins]
     for ri in range(len(ranges)):
         sub = p[p["ridx"] == ri]
