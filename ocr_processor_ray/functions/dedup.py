@@ -23,14 +23,14 @@ Scale shapes (100 TB honest):
                    (q, qkey) bucket shuffle; verify real Hamming
                    distance inside buckets (8 B/row — no text needed).
 
-All hashing is blake2b-seeded and deterministic across workers.
+All hashing is deterministic across workers: words via pandas'
+fixed-key siphash (vectorized), band/bucket keys via blake2b.
 """
 
 from __future__ import annotations
 
 import hashlib
 import logging
-from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
@@ -97,22 +97,77 @@ def _perm_params(n_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarray
 _PERM_A, _PERM_B = _perm_params(N_PERM)
 
 
+_SHINGLE_MUL = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _word_hashes(words: list) -> np.ndarray:
+    """Deterministic 64-bit hash per word (siphash with pandas' fixed
+    default key — stable across processes and machines)."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
+
+
+def _rolling_shingles(wh: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial combine of k consecutive word hashes (uint64 wrap)."""
+    n = len(wh) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        acc = acc * _SHINGLE_MUL + wh[i : i + n]
+    return acc
+
+
+def _fold_all(wh: np.ndarray) -> np.uint64:
+    acc = 0  # python ints: same wraparound as uint64, no overflow warning
+    for h in wh.tolist():
+        acc = (acc * int(_SHINGLE_MUL) + h) & 0xFFFFFFFFFFFFFFFF
+    return np.uint64(acc)
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (uint64). Short docs fall back to the
-    whole-text hash so every doc has at least one shingle."""
-    words = text.split()
-    if len(words) < k:
-        grams: Iterable[str] = [" ".join(words)] if words else [""]
-    else:
-        grams = (" ".join(words[i : i + k]) for i in range(len(words) - k + 1))
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big")
-            for g in grams
-        ),
-        dtype=np.uint64,
-    )
-    return np.unique(out)
+    """Hashes of word k-shingles (uint64). Short docs fold all their
+    word hashes into a single shingle so every doc lands in at least
+    one bucket. The batch path (``batch_minhash_signatures``) computes
+    the identical values with one vectorized pass per batch."""
+    words = text.split() or [""]
+    wh = _word_hashes(words)
+    if len(wh) < k:
+        return np.array([_fold_all(wh)], dtype=np.uint64)
+    return np.unique(_rolling_shingles(wh, k))
+
+
+def batch_minhash_signatures(texts: list, k: int = 3) -> np.ndarray:
+    """(n_docs, N_PERM) minhash signatures for a whole batch in ONE
+    vectorized pass: a single ``hash_array`` call over every word in
+    the batch, one rolling combine for all shingles, and one
+    ``np.minimum.reduceat`` for all per-doc minima. Produces exactly
+    ``minhash_signature(text)`` per doc (duplicate shingles don't move
+    a min, so the per-doc ``unique`` is unnecessary here)."""
+    if not texts:
+        return np.zeros((0, N_PERM), dtype=np.uint64)
+    words_per = [t.split() or [""] for t in texts]
+    counts = np.array([len(w) for w in words_per], dtype=np.int64)
+    wh = _word_hashes([w for ws in words_per for w in ws])
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    # one global rolling combine; doc d's shingles are the contiguous
+    # slice [starts[d], starts[d] + counts[d]-k+1) of it
+    global_acc = _rolling_shingles(wh, k) if len(wh) >= k else np.array([], np.uint64)
+    segs: list = []
+    sh_counts = np.empty(len(texts), dtype=np.int64)
+    for d, (s, c) in enumerate(zip(starts, counts)):
+        if c < k:
+            segs.append(np.array([_fold_all(wh[s : s + c])], dtype=np.uint64))
+            sh_counts[d] = 1
+        else:
+            segs.append(global_acc[s : s + c - k + 1])
+            sh_counts[d] = c - k + 1
+    sh = np.concatenate(segs)
+    # (N_PERM, total_shingles) universal hashes, segmented min per doc
+    vals = (_PERM_A[:, None] * (sh[None, :] % _MERSENNE) + _PERM_B[:, None]) % _MERSENNE
+    offsets = np.concatenate([[0], np.cumsum(sh_counts)[:-1]])
+    sigs = np.minimum.reduceat(vals, offsets, axis=1)
+    return sigs.T.astype(np.uint64)
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
@@ -144,9 +199,9 @@ def minhash_band_rows(
     """
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
+    sigs = batch_minhash_signatures(texts)
     out_bkt, out_band, out_key, out_id = [], [], [], []
-    for did, text in zip(ids, texts):
-        sig = minhash_signature(text)
+    for did, sig in zip(ids, sigs):
         for band in range(N_BANDS):
             seg = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
             key = int.from_bytes(

@@ -48,6 +48,17 @@ class TestMinHashKernels:
         assert len(shingle_hashes("one")) == 1
         assert len(shingle_hashes("")) == 1
 
+    def test_batch_signatures_equal_per_doc(self):
+        import numpy as np
+
+        from ocr_processor_ray.functions.dedup import batch_minhash_signatures
+
+        docs = [BASE, NEAR, EXT, FAR, "", "one", "two words"]
+        sigs = batch_minhash_signatures(docs)
+        assert sigs.shape == (len(docs), 64)
+        for i, d in enumerate(docs):
+            assert np.array_equal(sigs[i], minhash_signature(d)), i
+
 
 class TestSimHash:
     def test_near_docs_low_hamming(self):
