@@ -368,10 +368,22 @@ def _bucketed_pair_verify(
         dtab = group.filter(pc.invert(is_pair))
         idx = pc.index_in(pairs["id_b"], value_set=dtab["id_b"].combine_chunks())
         text_b = dtab["text_b"].combine_chunks().take(idx)
-        ja = [
-            round(jaccard(a, b), 6)
-            for a, b in zip(pairs["text_a"].to_pylist(), text_b.to_pylist())
-        ]
+        # shingle each distinct text once per task (a hot doc appears in
+        # many pairs); sets are unique+sorted, so intersect1d is O(n)
+        cache: dict = {}
+
+        def sh(t: str) -> np.ndarray:
+            r = cache.get(t)
+            if r is None:
+                r = cache[t] = shingle_hashes(t)
+            return r
+
+        ja = []
+        for a, b in zip(pairs["text_a"].to_pylist(), text_b.to_pylist()):
+            sa, sb = sh(a), sh(b)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            ja.append(round(inter / union if union else 1.0, 6))
         out = pa.table(
             {
                 "id_a": pairs["id_a"],
