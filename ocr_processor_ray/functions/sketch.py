@@ -14,6 +14,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 HLL_P = 12
@@ -280,3 +281,53 @@ def approx_quantiles(ds: Dataset, column: str, qs: list) -> dict:
     ]
     m, w = td_merge(parts) if parts else (np.array([]), np.array([]))
     return {q: td_quantile(m, w, q) for q in qs}
+
+
+# ---------------------------------------------------- grouped sketches
+
+
+def approx_distinct_by(ds: Dataset, group_col: str, column: str) -> Dataset:
+    """Approximate COUNT(DISTINCT column) per group — the grouped form
+    of ``approx_distinct``. Per batch: one HLL register set per group
+    present (4 KB each); ONE groupby(group) shuffle then merges
+    registers by elementwise max per group. Exchange volume is
+    #groups × #batches × 4 KB — independent of row count, so a
+    10^12-row / 10^3-group table shuffles megabytes, not the data.
+    Output: (group_col, n_approx:int64)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col]
+        dic = pc.dictionary_encode(groups.combine_chunks())
+        codes = (
+            dic.indices.to_numpy(zero_copy_only=False)
+            if isinstance(dic, pa.Array)
+            else dic.combine_chunks().indices.to_numpy(zero_copy_only=False)
+        )
+        uniq = dic.dictionary if isinstance(dic, pa.Array) else dic.combine_chunks().dictionary
+        vals = batch[column].to_pylist()
+        out_g, out_r = [], []
+        for code in range(len(uniq)):
+            sel = [v for v, c in zip(vals, codes) if c == code]
+            out_g.append(uniq[code].as_py())
+            out_r.append(hll_registers(sel).tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = np.zeros(HLL_M, dtype=np.uint8)
+        for buf in g["regs"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table(
+            {
+                group_col: pa.array([g[group_col][0].as_py()]),
+                "n_approx": pa.array([round(hll_estimate(regs))], pa.int64()),
+            }
+        )
+
+    return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")

@@ -799,6 +799,18 @@ def q_events_value_quantiles_approx(sf_dir: str):
     )
 
 
+def q_approx_users_by_type(sf_dir: str):
+    """Grouped HLL: approximate distinct users per event type. Exchange
+    is #groups × #batches × 4 KB register sets — independent of row
+    count (the grouped form of approx_distinct_users). Approximate by
+    nature → no SQL oracle; accuracy is bounded by the grouped-HLL
+    unit test (±5%)."""
+    from ocr_processor_ray.functions.sketch import approx_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by(ds, "event_type", "user_id")
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1282,6 +1294,7 @@ QUERIES = {
     "events_daily_users": q_events_daily_users,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_event_type_freq": q_approx_event_type_freq,
+    "approx_users_by_type": q_approx_users_by_type,
     "events_value_quantiles_approx": q_events_value_quantiles_approx,
     "corpus_prep": q_corpus_prep,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,

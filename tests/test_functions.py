@@ -612,6 +612,24 @@ class TestSketch:
         assert np.array_equal(merged, flat)  # max-merge is order-invariant
         assert round(hll_estimate(merged)) == round(hll_estimate(flat))
 
+    def test_grouped_hll_within_tolerance(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.sketch import approx_distinct_by
+
+        g, v = [], []
+        for gi, nd in enumerate([400, 1200]):
+            for i in range(nd * 3):
+                g.append(f"g{gi}")
+                v.append(f"{gi}:{i % nd}")
+        ds = rd.from_arrow(
+            pa.table({"grp": pa.array(g), "val": pa.array(v)})
+        ).repartition(8)
+        res = approx_distinct_by(ds, "grp", "val").to_pandas()
+        for gi, nd in enumerate([400, 1200]):
+            est = int(res[res["grp"] == f"g{gi}"]["n_approx"].iloc[0])
+            assert abs(est - nd) / nd < 0.05, (gi, est, nd)
+
     def test_approx_quantiles_dataset(self):
         import numpy as np
         import ray.data as rd
