@@ -1086,6 +1086,63 @@ def q_word_postings(sf_dir: str):
     return distinct.groupby("word").map_groups(build, batch_format="pyarrow")
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Characteristic term per document (tf-idf shape, integer-safe):
+    per-(doc, word) term frequency and per-word document frequency via
+    two hash aggregations, a bucketed big-big join on the word key to
+    drop ubiquitous terms (df > 10% of corpus), then a grouped top-1 by
+    tf (ties: word asc). All predicates are integer/categorical so no
+    float can drift between engines."""
+    import math
+
+    from ocr_processor_ray.functions.agg import grouped_topk
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata
+    max_df = math.floor(0.1 * n_docs)
+
+    def explode(b: pa.Table) -> pa.Table:
+        words_list = pc.utf8_split_whitespace(b["text"])
+        lengths = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(np.asarray(b["doc_id"]), lengths)
+        t = pa.table(
+            {
+                "word": pc.list_flatten(words_list),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+        return t.filter(pc.not_equal(t["word"], ""))
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    tf = two_phase_agg(pairs, ["word", "doc_id"], [("doc_id", "count", "tf")])
+    df = two_phase_agg(tf, ["word"], [("doc_id", "count", "df")])
+    rare = df.map_batches(
+        lambda b: b.filter(pc.less_equal(b["df"], pa.scalar(max_df, pa.int64()))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = bucketed_join(
+        tf,
+        rare,
+        on="word",
+        l_schema={"word": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
+        r_schema={"word": pa.string(), "df": pa.int64()},
+    )
+    top = grouped_topk(joined, "doc_id", "tf", 1, "word")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "term": b["word"],
+                "tf": pc.cast(b["tf"], pa.int64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_docs_hash_sample(sf_dir: str):
     """Deterministic content-addressed sampling (≈1/8): keep docs whose
     md5(doc_id) starts with '0' or '1' — reproducible across engines and
@@ -1301,6 +1358,7 @@ QUERIES = {
     "doc_redact": q_doc_redact,
     "docs_top_words": q_docs_top_words,
     "word_postings": q_word_postings,
+    "doc_top_terms": q_doc_top_terms,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_stratified_sample": q_docs_stratified_sample,
 }
@@ -1612,6 +1670,25 @@ FROM c
         FROM events
         WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
         GROUP BY event_type
+    """,
+    "doc_top_terms": """
+        WITH pairs AS (
+            SELECT doc_id, word, count(*) AS tf FROM (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+                FROM documents)
+            GROUP BY doc_id, word
+        ), df AS (
+            SELECT word, count(*) AS df FROM pairs GROUP BY word
+        ), filt AS (
+            SELECT p.doc_id, p.word, p.tf
+            FROM pairs p JOIN df ON p.word = df.word
+            WHERE df.df <= FLOOR(0.1 * (SELECT count(*) FROM documents))
+        )
+        SELECT doc_id, word AS term, CAST(tf AS BIGINT) AS tf FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tf DESC, word ASC) AS rn
+            FROM filt)
+        WHERE rn = 1
     """,
     "word_postings": """
         WITH pairs AS (
