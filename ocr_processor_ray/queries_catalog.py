@@ -675,6 +675,39 @@ def q_purchase_errors_prev_1h(sf_dir: str):
     return ds.groupby("user_id").map_groups(count_range, batch_format="pandas")
 
 
+def q_signup_conversion_7d(sf_dir: str):
+    """Funnel step: for each signup, did the SAME user purchase within
+    the following 7 days (exclusive of the signup instant)? One bucketed
+    groupby(user) co-locates each user's rows; the in-task kernel is a
+    vectorized searchsorted window probe. Output one row per signup —
+    (event_id, converted) with an integer 0/1 flag."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["event_type"], value_set=pa.array(["signup", "purchase"]))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["event_type"] == "signup"]
+        p = g[g["event_type"] == "purchase"].sort_values("ts")
+        pts = p["ts"].astype("int64").to_numpy()
+        sts = s["ts"].astype("int64").to_numpy()
+        lo = np.searchsorted(pts, sts, side="right")  # strictly after signup
+        hi = np.searchsorted(pts, sts + week_us, side="right")  # ts <= signup+7d
+        return pd.DataFrame(
+            {
+                "event_id": s["event_id"].to_numpy(),
+                "converted": (hi > lo).astype("int64"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(probe, batch_format="pandas")
+
+
 def q_events_asof_purchase(sf_dir: str):
     """As-of join: for each 'error' event, the user's latest prior
     'purchase' event (bucket-partitioned merge_asof — the custom
@@ -1359,6 +1392,7 @@ QUERIES = {
     "docs_top_words": q_docs_top_words,
     "word_postings": q_word_postings,
     "doc_top_terms": q_doc_top_terms,
+    "signup_conversion_7d": q_signup_conversion_7d,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_stratified_sample": q_docs_stratified_sample,
 }
@@ -1670,6 +1704,18 @@ FROM c
         FROM events
         WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
         GROUP BY event_type
+    """,
+    "signup_conversion_7d": """
+        SELECT s.event_id,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM events p
+                   WHERE p.user_id = s.user_id
+                     AND p.event_type = 'purchase'
+                     AND p.ts > s.ts
+                     AND p.ts <= s.ts + INTERVAL 7 DAY
+               ) THEN 1 ELSE 0 END AS BIGINT) AS converted
+        FROM events s
+        WHERE s.event_type = 'signup'
     """,
     "doc_top_terms": """
         WITH pairs AS (
