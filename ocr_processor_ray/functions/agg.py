@@ -137,6 +137,7 @@ def grouped_topk(
     tiebreak: str,
     rank_col: str = "rank",
     descending: bool = True,
+    combine_shard_threshold: int = 200_000,
 ) -> Dataset:
     """Per-key top-k rows WITHOUT shipping whole groups anywhere.
 
@@ -145,8 +146,9 @@ def grouped_topk(
     rows — bounded, even when one key covers the whole corpus (the
     ``groupby(key).map_groups`` alternative would put the entire corpus
     into #keys tasks). One combine task re-ranks and emits a 1-indexed
-    ``rank_col``. For #keys × k beyond one worker, shard the combine by
-    key hash first (same two-phase pattern as ``two_phase_agg``).
+    ``rank_col``; when the candidate set exceeds
+    ``combine_shard_threshold`` rows the combine automatically shards by
+    key hash (all rows of a key co-locate, so per-shard ranks are exact).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -161,9 +163,29 @@ def grouped_topk(
         rank = np.arange(len(karr)) - np.repeat(starts, sizes) + 1
         return out.append_column(rank_col, pa.array(rank.astype(np.int64)))
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.repartition(1).map_batches(
-        combine, batch_format="pyarrow", batch_size=None
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if partials.count() <= combine_shard_threshold:
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
+    # candidate set (≤ #blocks × #keys × k) outgrew one worker: shard
+    # the combine by key hash — all rows of a key land in one shard, so
+    # per-shard ranking is exact; only candidates move through the
+    # shuffle, never whole groups
+    import pandas as pd
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        shard = (pd.util.hash_array(kv) % 64).astype(np.int32)
+        return b.append_column("_kshard", pa.array(shard))
+
+    sharded = partials.map_batches(
+        add_shard, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sharded.groupby("_kshard").map_groups(
+        lambda g: combine(g.drop_columns(["_kshard"])), batch_format="pyarrow"
     )
 
 
@@ -173,6 +195,7 @@ def global_topk(
     k: int,
     tiebreak: str,
     descending: bool = True,
+    prereduce_threshold: int | None = None,
 ) -> pa.Table:
     """Top-k rows of the whole dataset WITHOUT a global sort shuffle.
 
@@ -190,7 +213,22 @@ def global_topk(
             return b
         return b.sort_by(order).slice(0, k)
 
-    cands = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    cands = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    # at ~10^6 blocks the candidate set is #blocks × k rows — pre-reduce
+    # distributed so the driver only ever concatenates a bounded set
+    threshold = (
+        prereduce_threshold if prereduce_threshold is not None else max(100_000, 64 * k)
+    )
+    if cands.count() > threshold:
+        cands = (
+            cands.repartition(32)
+            .map_batches(
+                partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
+            .materialize()
+        )
     t = pa.concat_tables(
         [tb for tb in ray.get(cands.to_arrow_refs()) if tb.num_rows],
         promote_options="default",

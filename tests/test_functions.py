@@ -576,6 +576,42 @@ class TestSketch:
         # merge folds a sorted concat, so ordering of partials is irrelevant
         assert np.allclose(m1, m2) and np.allclose(w1, w2)
 
+    def test_grouped_topk_sharded_combine_matches_single(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.agg import grouped_topk
+
+        t = pa.table(
+            {
+                "key": pa.array([f"k{i % 7}" for i in range(500)]),
+                "v": pa.array([(i * 37) % 101 for i in range(500)], pa.int64()),
+                "tb": pa.array(list(range(500)), pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(8)
+        single = grouped_topk(ds, "key", "v", 3, "tb").to_pandas()
+        sharded = grouped_topk(
+            ds, "key", "v", 3, "tb", combine_shard_threshold=1
+        ).to_pandas()
+        canon = lambda d: d.sort_values(list(d.columns), ignore_index=True)
+        assert canon(single).equals(canon(sharded))
+
+    def test_global_topk_prereduce_matches_direct(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.agg import global_topk
+
+        t = pa.table(
+            {
+                "v": pa.array([(i * 53) % 997 for i in range(2000)], pa.int64()),
+                "tb": pa.array(list(range(2000)), pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(16)
+        direct = global_topk(ds, "v", 10, "tb").to_pandas()
+        reduced = global_topk(ds, "v", 10, "tb", prereduce_threshold=1).to_pandas()
+        assert direct.equals(reduced)
+
     def test_tree_fold_multi_level_matches_flat_fold(self):
         import numpy as np
         import ray.data as rd
