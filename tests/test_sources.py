@@ -1,0 +1,76 @@
+"""Multi-format source readers: JSONL and CSV corpora must extract
+byte-identically to the canonical Parquet path."""
+
+import csv
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(tmp_path_factory):
+    """One small synthetic corpus written in all three formats."""
+    from ocr_processor_ray.sources.synth import write_transcripts
+
+    root = tmp_path_factory.mktemp("fmt_corpus")
+    pq_dir = os.path.join(root, "pq")
+    write_transcripts(pq_dir, seed=11, n_convs=20)
+    files = sorted(
+        os.path.join(pq_dir, f) for f in os.listdir(pq_dir) if f.endswith(".parquet")
+    )
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+
+    json_path = os.path.join(root, "corpus.jsonl")
+    csv_path = os.path.join(root, "corpus.csv")
+    rows = t.to_pylist()
+    with open(json_path, "w") as f:
+        for r in rows:
+            r = dict(r)
+            r["ts"] = int(r["ts"].timestamp() * 1_000_000)
+            f.write(json.dumps(r) + "\n")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=[fld.name for fld in t.schema])
+        w.writeheader()
+        for r in rows:
+            r = dict(r)
+            r["ts"] = int(r["ts"].timestamp() * 1_000_000)
+            w.writerow(r)
+    return {"parquet": pq_dir, "json": json_path, "csv": csv_path}
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_format_extracts_identically_to_parquet(corpus_dirs, fmt):
+    from ocr_processor_ray.pipelines.extract_pipeline import extract_turns
+    from ocr_processor_ray.sources.readers import read_transcripts_any
+
+    def run(format_name):
+        ds = read_transcripts_any(corpus_dirs[format_name], format=format_name)
+        out = extract_turns(ds).to_pandas()
+        return out.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+    base = run("parquet")
+    other = run(fmt)
+    assert base.equals(other), f"{fmt} extraction diverges from parquet"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_normalized_schema_matches_canonical(corpus_dirs):
+    from ocr_processor_ray.schema import TRANSCRIPT_SCHEMA
+    from ocr_processor_ray.sources.readers import read_transcripts_any
+
+    ds = read_transcripts_any(corpus_dirs["json"], format="json")
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    assert t.schema.equals(TRANSCRIPT_SCHEMA)
+
+
+def test_unknown_format_rejected():
+    from ocr_processor_ray.sources.readers import read_transcripts_any
+
+    with pytest.raises(ValueError):
+        read_transcripts_any("/tmp/x", format="xml")
