@@ -13,11 +13,47 @@ import json
 import sys
 
 
+def _query_main(argv: list[str]) -> int:
+    """``python -m ocr_processor_ray query <name> <sf_dir> --out DIR``:
+    run one catalog query and export its result."""
+    p = argparse.ArgumentParser(prog="ocr_processor_ray query")
+    p.add_argument("name", help="catalog query name (see queries_catalog.QUERIES)")
+    p.add_argument("sf_dir", help="directory with the parquet tables")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        from ocr_processor_ray.pipelines.export import export_result
+        from ocr_processor_ray.queries_catalog import QUERIES
+
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; known: {', '.join(sorted(QUERIES))}",
+                  file=sys.stderr)
+            return 2
+        export_result(QUERIES[args.name](args.sf_dir), args.out, args.format)
+        print(json.dumps({"query": args.name, "out": args.out, "format": args.format}))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
     p = argparse.ArgumentParser(prog="ocr_processor_ray")
-    p.add_argument("input", help="transcript parquet file/dir (or comma-separated list)")
+    p.add_argument("input", help="transcript file/dir (or comma-separated list)")
     p.add_argument("output", help="output directory (part=NNNNN/ layout)")
     p.add_argument("--mode", default="cli", choices=["cli", "force", "visual"])
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "json", "csv"])
     p.add_argument("--partitions", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--num-cpus", type=int, default=None,
@@ -44,7 +80,9 @@ def main(argv: list[str] | None = None) -> int:
             batch_size=args.batch_size,
         )
         in_path = args.input.split(",") if "," in args.input else args.input
-        summary = run_checkpointed(in_path, args.output, cfg)
+        summary = run_checkpointed(
+            in_path, args.output, cfg, input_format=args.input_format
+        )
         json.dump(summary, sys.stdout, indent=1, sort_keys=True)
         print()
         return 0

@@ -57,12 +57,15 @@ def run_checkpointed(
     in_path: str | list[str],
     out_dir: str,
     cfg: ExtractConfig | None = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Run (or resume) the flagship extraction into ``out_dir``.
 
     Returns the job summary: partitions written this run, partitions
     skipped as already complete, and folded counters over the whole
     output (including previously-completed partitions).
+    ``input_format`` ∈ {parquet, json, csv} — non-Parquet corpora route
+    through ``sources.readers.read_transcripts_any``.
     """
     cfg = cfg or ExtractConfig()
     num_parts = cfg.num_output_partitions
@@ -73,7 +76,11 @@ def run_checkpointed(
     from ocr_processor_ray.pipelines.extract_pipeline import EXTRACT_COLUMNS
 
     nb = cfg.read_num_blocks if cfg.read_num_blocks is not None else num_parts
-    if nb:
+    if input_format != "parquet":
+        from ocr_processor_ray.sources.readers import read_transcripts_any
+
+        ds = read_transcripts_any(in_path, format=input_format, columns=EXTRACT_COLUMNS)
+    elif nb:
         ds = rd.read_parquet(in_path, columns=EXTRACT_COLUMNS, override_num_blocks=nb)
     else:  # 0 → Ray's size-based splitting (the right call at real scale)
         ds = read_transcripts(in_path)

@@ -74,3 +74,53 @@ def test_unknown_format_rejected():
 
     with pytest.raises(ValueError):
         read_transcripts_any("/tmp/x", format="xml")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpointed_run_from_jsonl_matches_parquet(corpus_dirs, tmp_path):
+    from ocr_processor_ray import ExtractConfig
+    from ocr_processor_ray.state.checkpoint import run_checkpointed
+    from ocr_processor_ray.state.manifest import read_output
+
+    cfg = ExtractConfig(num_output_partitions=4)
+    run_checkpointed(corpus_dirs["parquet"], str(tmp_path / "pq"), cfg)
+    run_checkpointed(
+        corpus_dirs["json"], str(tmp_path / "js"), cfg, input_format="json"
+    )
+    a = read_output(str(tmp_path / "pq")).to_pandas()
+    b = read_output(str(tmp_path / "js")).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    assert a.sort_values(key, ignore_index=True).equals(
+        b.sort_values(key, ignore_index=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_export_result_roundtrip(tmp_path, fmt):
+    import pandas as pd
+
+    from ocr_processor_ray.pipelines.export import export_result
+
+    t = pa.table({"k": pa.array(["a", "b"]), "n": pa.array([1, 2], pa.int64())})
+    out = str(tmp_path / fmt)
+    export_result(t, out, fmt)
+    files = os.listdir(out)
+    assert len(files) == 1
+    path = os.path.join(out, files[0])
+    if fmt == "parquet":
+        back = pq.read_table(path).to_pandas()
+    elif fmt == "csv":
+        back = pd.read_csv(path)
+    else:
+        back = pd.read_json(path, lines=True)
+    assert back.sort_values("k", ignore_index=True).equals(
+        t.to_pandas().sort_values("k", ignore_index=True)
+    )
+
+
+def test_export_unknown_format_rejected(tmp_path):
+    from ocr_processor_ray.pipelines.export import export_result
+
+    with pytest.raises(ValueError):
+        export_result(pa.table({"a": [1]}), str(tmp_path), "xlsx")
