@@ -1027,6 +1027,48 @@ def q_customers_no_urgent_orders(sf_dir: str):
     return out
 
 
+def q_customer_order_counts(sf_dir: str):
+    """Big-big LEFT join with zero-fill: every customer with their order
+    count, including customers with none. Orders pre-aggregate to one
+    row per custkey BEFORE the join (the combine-then-join rule), so the
+    join exchanges #customers + #distinct-custkeys rows — never the raw
+    orders table."""
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    counts = two_phase_agg(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"],
+        [("o_custkey", "count", "n_orders")],
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": b["o_custkey"], "n_orders": b["n_orders"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = bucketed_join(
+        cust,
+        counts,
+        on="c_custkey",
+        num_buckets=16,
+        how="left",
+        l_schema={"c_custkey": pa.int64(), "c_mktsegment": pa.string()},
+        r_schema={"c_custkey": pa.int64(), "n_orders": pa.int64()},
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": pc.coalesce(
+                    pc.cast(b["n_orders"], pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_doc_redact(sf_dir: str):
     """PII-scrub shape: mask a sensitive-token lexicon with [REDACTED]
     (vectorized RE2 replace — the training-data redaction pass). Counts
@@ -1388,6 +1430,7 @@ QUERIES = {
     "events_value_quantiles_approx": q_events_value_quantiles_approx,
     "corpus_prep": q_corpus_prep,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
+    "customer_order_counts": q_customer_order_counts,
     "doc_redact": q_doc_redact,
     "docs_top_words": q_docs_top_words,
     "word_postings": q_word_postings,
@@ -1704,6 +1747,13 @@ FROM c
         FROM events
         WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
         GROUP BY event_type
+    """,
+    "customer_order_counts": """
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey
     """,
     "signup_conversion_7d": """
         SELECT s.event_id,

@@ -238,6 +238,33 @@ class TestJoins:
         want = left.merge(right, on="k").sort_values("k", ignore_index=True)
         pd.testing.assert_frame_equal(got[["k", "a", "b"]], want, check_dtype=True)
 
+    def test_bucketed_left_join_keeps_unmatched_rows(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import bucketed_join
+
+        left = pd.DataFrame({"k": range(40), "a": range(40)})
+        right = pd.DataFrame({"k": [i for i in range(0, 40, 4)], "b": range(10)})
+        got = (
+            bucketed_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                on="k",
+                num_buckets=4,
+                how="left",
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = left.merge(right, on="k", how="left").sort_values("k", ignore_index=True)
+        assert len(got) == 40
+        assert got["b"].isna().sum() == 30  # unmatched keys survive with null b
+        pd.testing.assert_frame_equal(
+            got[["k", "a", "b"]].astype({"b": "float64"}),
+            want.astype({"b": "float64"}),
+            check_dtype=False,
+        )
+
     def test_asof_join_preserves_int_dtypes_with_unmatched_rows(self):
         import ray.data as rd
 
