@@ -1027,6 +1027,63 @@ def q_customers_no_urgent_orders(sf_dir: str):
     return out
 
 
+def q_events_profile(sf_dir: str):
+    """Table profiler: per-column row count, null count and EXACT
+    distinct count in two passes — (col, value) pairs distinct'd by a
+    two-phase hash agg (value cast to string so one pipeline profiles
+    every column type), then a tiny per-column fold. The data-quality
+    scan a 100 TB ingest runs before training."""
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    ds = _read(sf_dir, "events", cols)
+
+    def explode(b: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            arr = pc.cast(b[c], pa.string())
+            keep = arr.drop_null()
+            names.extend([c] * len(keep))
+            vals.append(keep)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "v": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in vals]
+                ),
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    distinct_pairs = two_phase_agg(pairs, ["col", "v"], [("v", "count", "_c")])
+    n_distinct = two_phase_agg(distinct_pairs, ["col"], [("v", "count", "n_distinct")])
+
+    def counts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "n_rows": pa.array([b.num_rows] * len(cols), pa.int64()),
+                "n_nulls": pa.array(
+                    [b[c].null_count for c in cols], pa.int64()
+                ),
+            }
+        )
+
+    totals = two_phase_agg(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["col"],
+        [("n_rows", "sum", "n_rows"), ("n_nulls", "sum", "n_nulls")],
+    )
+    t = totals.to_pandas().merge(n_distinct.to_pandas(), on="col")
+    t = t.sort_values("col", ignore_index=True)
+    return pa.table(
+        {
+            "col": pa.array(t["col"], pa.string()),
+            "n_rows": pa.array(t["n_rows"], pa.int64()),
+            "n_nulls": pa.array(t["n_nulls"], pa.int64()),
+            "n_distinct": pa.array(t["n_distinct"], pa.int64()),
+        }
+    )
+
+
 def q_customer_order_counts(sf_dir: str):
     """Big-big LEFT join with zero-fill: every customer with their order
     count, including customers with none. Orders pre-aggregate to one
@@ -1431,6 +1488,7 @@ QUERIES = {
     "corpus_prep": q_corpus_prep,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "customer_order_counts": q_customer_order_counts,
+    "events_profile": q_events_profile,
     "doc_redact": q_doc_redact,
     "docs_top_words": q_docs_top_words,
     "word_postings": q_word_postings,
@@ -1747,6 +1805,24 @@ FROM c
         FROM events
         WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
         GROUP BY event_type
+    """,
+    "events_profile": """
+        SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT CAST(event_id AS VARCHAR)) AS BIGINT) AS n_distinct
+        FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               count(DISTINCT CAST(user_id AS VARCHAR)) FROM events
+        UNION ALL
+        SELECT 'event_type', count(*), count(*) - count(event_type),
+               count(DISTINCT event_type) FROM events
+        UNION ALL
+        SELECT 'value', count(*), count(*) - count(value),
+               count(DISTINCT CAST(value AS VARCHAR)) FROM events
+        UNION ALL
+        SELECT 'props', count(*), count(*) - count(props),
+               count(DISTINCT props) FROM events
     """,
     "customer_order_counts": """
         SELECT c.c_custkey, c.c_mktsegment,
