@@ -1027,6 +1027,25 @@ def q_customers_no_urgent_orders(sf_dir: str):
     return out
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Near-dup CLUSTERS (not just pairs): distributed connected
+    components over the exact cosine-pair edges — each node labeled
+    with the minimum reachable vec_id. Pairs alone can't drive dedup
+    deletion (A~B, B~C must keep ONE of {A,B,C}); this is the missing
+    clustering step, oracle-checked against a DuckDB recursive CTE."""
+    from ocr_processor_ray.functions.graph import connected_components
+    from ocr_processor_ray.functions.similarity import exact_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = exact_near_dup_pairs(ds, threshold=0.45)
+    cc = connected_components(pairs)
+    return cc.map_batches(
+        lambda b: pa.table({"vec_id": b["node"], "component": b["component"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_events_profile(sf_dir: str):
     """Table profiler: per-column row count, null count and EXACT
     distinct count in two passes — (col, value) pairs distinct'd by a
@@ -1489,6 +1508,7 @@ QUERIES = {
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "customer_order_counts": q_customer_order_counts,
     "events_profile": q_events_profile,
+    "embedding_clusters": q_embedding_clusters,
     "doc_redact": q_doc_redact,
     "docs_top_words": q_docs_top_words,
     "word_postings": q_word_postings,
@@ -1805,6 +1825,24 @@ FROM c
         FROM events
         WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
         GROUP BY event_type
+    """,
+    "embedding_clusters": """
+        WITH RECURSIVE e AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ), sym AS (
+            SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+        ), nodes AS (
+            SELECT DISTINCT a AS n FROM sym
+        ), reach(n, m) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        )
+        SELECT n AS vec_id, CAST(min(m) AS BIGINT) AS component
+        FROM reach GROUP BY n
     """,
     "events_profile": """
         SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,

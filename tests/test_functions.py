@@ -238,6 +238,25 @@ class TestJoins:
         want = left.merge(right, on="k").sort_values("k", ignore_index=True)
         pd.testing.assert_frame_equal(got[["k", "a", "b"]], want, check_dtype=True)
 
+    def test_connected_components_chain_and_clique(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.graph import connected_components
+
+        edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+                 (100, 101), (101, 102), (100, 102), (7, 3)]
+        t = pa.table(
+            {
+                "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                "id_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        res = connected_components(rd.from_arrow(t).repartition(3)).to_pandas()
+        got = dict(zip(res["node"], res["component"]))
+        exp = {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+               100: 100, 101: 100, 102: 100, 3: 3, 7: 3}
+        assert got == exp
+
     def test_bucketed_left_join_keeps_unmatched_rows(self):
         import ray.data as rd
 
