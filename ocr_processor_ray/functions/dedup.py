@@ -557,3 +557,46 @@ def simhash_pairs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
     from ocr_processor_ray.functions.agg import two_phase_agg
 
     return two_phase_agg(pairs, ["id_a", "id_b"], [("hamming", "min", "hamming")])
+
+
+# ------------------------------------------------------- dedup apply
+
+
+def near_dedup_filter(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> Dataset:
+    """The dedup DECISION applied: MinHash-LSH pairs → connected
+    components → keep one survivor (minimum id) per cluster, pass every
+    unpaired doc through untouched. Returns the kept rows of ``ds``.
+
+    Scale shape: pairs and clusters move only (id, id) int64 rows; the
+    final filter is a bucketed ANTI join of the corpus against the
+    loser set (nodes whose component label isn't their own id) — both
+    sides shuffle once, keyed by id hash; nothing lands on the driver.
+    Reference analog: ocr_combined.py:51-56 skips only EXACT copies —
+    near-dedup is the corpus-scale generalization.
+    """
+    from ocr_processor_ray.functions.graph import connected_components
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, threshold=threshold)
+    cc = connected_components(pairs)
+    losers = cc.map_batches(
+        lambda b: pa.table(
+            {id_col: b.filter(pc.not_equal(b["node"], b["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    kept = bucketed_join(
+        ds,
+        losers,
+        on=id_col,
+        how="anti",
+        l_schema={id_col: pa.int64(), text_col: pa.string()},
+        r_schema={id_col: pa.int64()},
+    )
+    return kept

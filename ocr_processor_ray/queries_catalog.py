@@ -179,6 +179,27 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def q_corpus_near_dedup(sf_dir: str):
+    """Dedup APPLIED: MinHash pairs → connected components → one
+    survivor (min id) per cluster, unpaired docs pass through; the kept
+    corpus rows come back via a bucketed anti-join. Hash-dependent
+    (LSH) → no SQL oracle; planted-dup pytest pins the semantics."""
+    from ocr_processor_ray.functions.dedup import near_dedup_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = near_dedup_filter(ds, threshold=0.5)
+    return kept.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ===================================================================
 # embeddings — similarity search
 # ===================================================================
@@ -1027,6 +1048,24 @@ def q_customers_no_urgent_orders(sf_dir: str):
     return out
 
 
+def q_events_props_sum(sf_dir: str):
+    """JSON field extraction at scale: pull ``k`` out of the ``props``
+    JSON column with ONE vectorized RE2 extract per batch (no per-row
+    json.loads), then a two-phase sum per event type. Oracle uses real
+    ``json_extract`` — same integers, different engines."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    ds = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_agg(
+        ds, ["event_type"], [("k", "sum", "sum_k"), ("k", "count", "n")]
+    )
+
+
 def q_embedding_clusters(sf_dir: str):
     """Near-dup CLUSTERS (not just pairs): distributed connected
     components over the exact cosine-pair edges — each node labeled
@@ -1462,6 +1501,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "corpus_near_dedup": q_corpus_near_dedup,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -1509,6 +1549,7 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "events_profile": q_events_profile,
     "embedding_clusters": q_embedding_clusters,
+    "events_props_sum": q_events_props_sum,
     "doc_redact": q_doc_redact,
     "docs_top_words": q_docs_top_words,
     "word_postings": q_word_postings,
@@ -1825,6 +1866,12 @@ FROM c
         FROM events
         WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
         GROUP BY event_type
+    """,
+    "events_props_sum": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n
+        FROM events GROUP BY event_type
     """,
     "embedding_clusters": """
         WITH RECURSIVE e AS (

@@ -97,6 +97,28 @@ class TestDedupPipelines:
         assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
         assert all(j >= 0.5 for j in pairs["jaccard"])
 
+    def test_near_dedup_filter_keeps_one_survivor_per_cluster(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import near_dedup_filter
+
+        # docs 0 and 1 are near-dups (EXT); a transitive chain 21~22~23
+        # (one appended word each, J≈0.94 per hop) must collapse to ONE
+        chain = " ".join(f"tok{i}" for i in range(48))
+        texts = [BASE, EXT, FAR] + [
+            f"filler document number {i} with words {i * 7}" for i in range(18)
+        ]
+        texts += [chain, chain + " tail1", chain + " tail1 tail2"]
+        ds = rd.from_arrow(_doc_table(texts))
+        kept = sorted(
+            near_dedup_filter(ds, threshold=0.5).to_pandas()["doc_id"].tolist()
+        )
+        assert 0 in kept and 1 not in kept  # min id survives its cluster
+        assert 2 in kept  # FAR untouched
+        survivors_of_chain = [d for d in kept if d in (21, 22, 23)]
+        assert survivors_of_chain == [21]  # transitive cluster → one survivor
+        assert all(d in kept for d in range(3, 21))  # fillers all kept
+
     def test_simhash_finds_planted_neardup(self):
         import ray.data as rd
 
