@@ -161,3 +161,90 @@ class TestOverlaySink:
         # deterministic re-render
         assert render_span_overlay_svg(row["clean_text"], list(row["spans"])) == \
                render_span_overlay_svg(row["clean_text"], list(row["spans"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalAgg:
+    SPEC = (
+        ["event_type"],
+        [("event_id", "count", "n"), ("event_id", "min", "min_id"),
+         ("event_id", "max", "max_id")],
+    )
+
+    def _halves(self):
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        full = rd.read_parquet(
+            "/root/testdata/sf0.001/events.parquet", columns=["event_type", "event_id"]
+        )
+        def parity(p):
+            return lambda b: b.filter(
+                pc.equal(pc.bit_wise_and(b["event_id"], 1), p)
+            )
+        return (
+            full,
+            full.map_batches(parity(0), batch_format="pyarrow"),
+            full.map_batches(parity(1), batch_format="pyarrow"),
+        )
+
+    def test_two_increments_equal_one_shot(self, tmp_path):
+        import pandas as pd
+
+        from ocr_processor_ray.functions.agg import two_phase_agg
+        from ocr_processor_ray.state.incremental import (
+            incremental_agg_read,
+            incremental_agg_update,
+        )
+
+        full, h1, h2 = self._halves()
+        store = str(tmp_path / "store")
+        incremental_agg_update(store, h1, *self.SPEC, increment_id="h1")
+        incremental_agg_update(store, h2, *self.SPEC, increment_id="h2")
+        got = incremental_agg_read(store).to_pandas().sort_values(
+            "event_type", ignore_index=True
+        )
+        want = two_phase_agg(full, *self.SPEC).to_pandas().sort_values(
+            "event_type", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+    def test_replayed_increment_is_noop(self, tmp_path):
+        from ocr_processor_ray.state.incremental import (
+            incremental_agg_read,
+            incremental_agg_update,
+        )
+
+        _, h1, _ = self._halves()
+        store = str(tmp_path / "store")
+        incremental_agg_update(store, h1, *self.SPEC, increment_id="h1")
+        before = incremental_agg_read(store).to_pandas()
+        meta = incremental_agg_update(store, h1, *self.SPEC, increment_id="h1")
+        after = incremental_agg_read(store).to_pandas()
+        assert meta["gen"] == 0  # no new generation written
+        key = ["event_type"]
+        assert before.sort_values(key, ignore_index=True).equals(
+            after.sort_values(key, ignore_index=True)
+        )
+
+    def test_spec_mismatch_rejected(self, tmp_path):
+        from ocr_processor_ray.state.incremental import incremental_agg_update
+
+        _, h1, h2 = self._halves()
+        store = str(tmp_path / "store")
+        incremental_agg_update(store, h1, *self.SPEC, increment_id="h1")
+        with pytest.raises(ValueError):
+            incremental_agg_update(
+                store, h2, ["event_type"], [("event_id", "sum", "s")],
+                increment_id="h2",
+            )
+
+    def test_non_mergeable_agg_rejected(self, tmp_path):
+        from ocr_processor_ray.state.incremental import incremental_agg_update
+
+        _, h1, _ = self._halves()
+        with pytest.raises(ValueError):
+            incremental_agg_update(
+                str(tmp_path / "s"), h1, ["event_type"],
+                [("event_id", "median", "m")], increment_id="x",
+            )
