@@ -1351,6 +1351,32 @@ def q_docs_hash_sample(sf_dir: str):
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
+MIX_RATES = {"en": 50, "es": 20, "fr": 20, "de": 5, "zh": 5}
+
+
+def q_docs_mixed_sample(sf_dir: str):
+    """Data-mixing sampler: per-language keep rates (en 50%, es/fr 20%,
+    de/zh 5%) decided by an integer hash bucket — the deterministic
+    ratio resampling a training mix needs, reproducible across engines
+    (no RNG, no floats; the DuckDB oracle computes the identical md5
+    bucket)."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        langs = b["lang"].to_pylist()
+        keep = [
+            int(_hl.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+            < MIX_RATES.get(lg, 0)
+            for i, lg in zip(ids, langs)
+        ]
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_docs_stratified_sample(sf_dir: str):
     """Stratified sample: 5 docs per lang, chosen by smallest md5 hash —
     per-batch local selection + bounded combine (grouped_topk ascending),
@@ -1556,6 +1582,7 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "signup_conversion_7d": q_signup_conversion_7d,
     "docs_hash_sample": q_docs_hash_sample,
+    "docs_mixed_sample": q_docs_mixed_sample,
     "docs_stratified_sample": q_docs_stratified_sample,
 }
 
@@ -1839,6 +1866,12 @@ FROM c
     "docs_hash_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    "docs_mixed_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+              < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'fr' THEN 20
+                          WHEN 'de' THEN 5 WHEN 'zh' THEN 5 ELSE 0 END
     """,
     "corpus_prep": """
         WITH norm AS (
