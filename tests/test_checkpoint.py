@@ -248,3 +248,83 @@ class TestIncrementalAgg:
                 str(tmp_path / "s"), h1, ["event_type"],
                 [("event_id", "median", "m")], increment_id="x",
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBucketedStore:
+    def _stores(self, tmp_path):
+        import ray.data as rd
+
+        from ocr_processor_ray.state.bucketed_store import write_bucketed
+
+        cust = rd.read_parquet(
+            "/root/testdata/sf0.001/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        orders = rd.read_parquet(
+            "/root/testdata/sf0.001/orders.parquet",
+            columns=["o_custkey", "o_totalprice"],
+        ).map_batches(
+            lambda b: b.rename_columns(["c_custkey", "o_totalprice"]),
+            batch_format="pyarrow",
+        )
+        ld, rd_ = str(tmp_path / "c"), str(tmp_path / "o")
+        write_bucketed(cust, ld, "c_custkey", 8)
+        write_bucketed(orders, rd_, "c_custkey", 8)
+        return ld, rd_
+
+    def test_store_join_matches_duckdb(self, tmp_path):
+        import duckdb
+        import pandas as pd
+
+        from ocr_processor_ray.state.bucketed_store import bucketed_store_join
+
+        ld, rd_ = self._stores(tmp_path)
+        got = bucketed_store_join(ld, rd_).to_pandas()
+        want = duckdb.sql(
+            """SELECT c.c_custkey, c.c_mktsegment, o.o_totalprice
+               FROM '/root/testdata/sf0.001/customer.parquet' c
+               JOIN '/root/testdata/sf0.001/orders.parquet' o
+                 ON c.c_custkey = o.o_custkey"""
+        ).df()
+        canon = lambda d: d[sorted(d.columns)].sort_values(
+            by=sorted(d.columns), ignore_index=True
+        )
+        pd.testing.assert_frame_equal(
+            canon(got), canon(want), check_dtype=False, check_exact=True
+        )
+
+    def test_rewrite_skips_existing_buckets(self, tmp_path):
+        import ray.data as rd
+
+        from ocr_processor_ray.state.bucketed_store import (
+            read_bucketed,
+            write_bucketed,
+        )
+
+        cust = rd.read_parquet(
+            "/root/testdata/sf0.001/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        d = str(tmp_path / "c2")
+        write_bucketed(cust, d, "c_custkey", 8)
+        n1 = read_bucketed(d).count()
+        write_bucketed(cust, d, "c_custkey", 8)  # resume: all buckets skipped
+        assert read_bucketed(d).count() == n1 == 150
+
+    def test_mismatched_bucket_count_rejected(self, tmp_path):
+        import ray.data as rd
+
+        from ocr_processor_ray.state.bucketed_store import (
+            bucketed_store_join,
+            write_bucketed,
+        )
+
+        cust = rd.read_parquet(
+            "/root/testdata/sf0.001/customer.parquet", columns=["c_custkey"]
+        )
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        write_bucketed(cust, a, "c_custkey", 4)
+        write_bucketed(cust, b, "c_custkey", 8)
+        with pytest.raises(ValueError):
+            bucketed_store_join(a, b)
