@@ -331,3 +331,55 @@ def approx_distinct_by(ds: Dataset, group_col: str, column: str) -> Dataset:
         )
 
     return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")
+
+
+def approx_quantiles_by(
+    ds: Dataset, group_col: str, column: str, qs: list
+) -> Dataset:
+    """Grouped t-digest: approximate quantiles PER KEY — the grouped
+    form of ``approx_quantiles`` (same pattern as ``approx_distinct_by``).
+    Per batch: one bounded centroid set per group present; ONE
+    groupby(group) shuffle merges digests per key. Exchange is
+    #groups × #batches × ~3 KB — independent of row count.
+    Output: (group_col, q:float64, value_approx:float64)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col]
+        dic = pc.dictionary_encode(groups.combine_chunks())
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        uniq = dic.dictionary
+        vals = batch[column].to_numpy(zero_copy_only=False)
+        out_g, out_m, out_w = [], [], []
+        for code in range(len(uniq)):
+            m, w = td_partial(vals[codes == code])
+            out_g.append(uniq[code].as_py())
+            out_m.append(m.tobytes())
+            out_w.append(w.tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "m": pa.array(out_m, pa.binary()),
+                "w": pa.array(out_w, pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        parts = [
+            (np.frombuffer(m, dtype=np.float64), np.frombuffer(w, dtype=np.float64))
+            for m, w in zip(g["m"].to_pylist(), g["w"].to_pylist())
+        ]
+        m, w = td_merge(parts)
+        key = g[group_col][0].as_py()
+        return pa.table(
+            {
+                group_col: pa.array([key] * len(qs)),
+                "q": pa.array(list(qs), pa.float64()),
+                "value_approx": pa.array(
+                    [round(td_quantile(m, w, q), 4) for q in qs], pa.float64()
+                ),
+            }
+        )
+
+    return partials.groupby(group_col).map_groups(merge, batch_format="pyarrow")

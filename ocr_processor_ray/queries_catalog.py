@@ -865,6 +865,17 @@ def q_approx_users_by_type(sf_dir: str):
     return approx_distinct_by(ds, "event_type", "user_id")
 
 
+def q_events_value_p50_by_type_approx(sf_dir: str):
+    """Grouped t-digest: approximate median event value per type in one
+    streaming pass + one digest-only shuffle. Approximate → no SQL
+    oracle; the grouped-digest unit test bounds rank error and the
+    exact per-user median query covers the exact path."""
+    from ocr_processor_ray.functions.sketch import approx_quantiles_by
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return approx_quantiles_by(ds, "event_type", "value", [0.5])
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1570,6 +1581,7 @@ QUERIES = {
     "approx_event_type_freq": q_approx_event_type_freq,
     "approx_users_by_type": q_approx_users_by_type,
     "events_value_quantiles_approx": q_events_value_quantiles_approx,
+    "events_value_p50_by_type_approx": q_events_value_p50_by_type_approx,
     "corpus_prep": q_corpus_prep,
     "customers_no_urgent_orders": q_customers_no_urgent_orders,
     "customer_order_counts": q_customer_order_counts,

@@ -734,6 +734,34 @@ class TestSketch:
             est = int(res[res["grp"] == f"g{gi}"]["n_approx"].iloc[0])
             assert abs(est - nd) / nd < 0.05, (gi, est, nd)
 
+    def test_grouped_tdigest_rank_error_bounded(self):
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.sketch import approx_quantiles_by
+
+        rng = np.random.RandomState(3)
+        g, v = [], []
+        for gi, (loc, n) in enumerate([(10.0, 8000), (100.0, 5000)]):
+            g.extend([f"g{gi}"] * n)
+            v.extend(rng.normal(loc, 5.0, n).tolist())
+        ds = rd.from_arrow(
+            pa.table({"grp": pa.array(g), "x": pa.array(v, pa.float64())})
+        ).repartition(8)
+        res = approx_quantiles_by(ds, "grp", "x", [0.25, 0.5, 0.9]).to_pandas()
+        va = np.array(v)
+        for gi in range(2):
+            sub = va[np.array(g) == f"g{gi}"]
+            sv = np.sort(sub)
+            for q in [0.25, 0.5, 0.9]:
+                est = float(
+                    res[(res["grp"] == f"g{gi}") & (res["q"] == q)][
+                        "value_approx"
+                    ].iloc[0]
+                )
+                rank = np.searchsorted(sv, est) / len(sv)
+                assert abs(rank - q) < 0.02, (gi, q, rank)
+
     def test_approx_quantiles_dataset(self):
         import numpy as np
         import ray.data as rd
