@@ -201,3 +201,74 @@ def sample_frames(ds: Dataset, n_frames: int = 4, concurrency=(1, 4),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AudioChunk:
+    """Audio → fixed-length windows with overlap, exploded one row per
+    chunk (the streaming-ASR pre-processing shape: an hour of audio
+    becomes bounded rows; batch inference consumes chunks, not files).
+    Real path would hold a resampler (libsoundfile/ffmpeg) from
+    ``__init__``; fake chunks are deterministic byte-slices so the
+    Ray-side plumbing — schema, explode ratios, actor signature — is
+    real and tested."""
+
+    def __init__(self, chunk_ms: int = 30_000, overlap_ms: int = 1_000,
+                 fake: bool = True, payload_col: str = "payload"):
+        if not fake:
+            raise NotImplementedError(
+                "real audio chunking requires soundfile/ffmpeg, not present in "
+                "this environment; construct with fake=True for the stub"
+            )
+        if overlap_ms >= chunk_ms:
+            raise ValueError("overlap must be shorter than the chunk")
+        self.chunk_ms = chunk_ms
+        self.overlap_ms = overlap_ms
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, cidx, starts, ends, cpay = [], [], [], [], []
+        step = self.chunk_ms - self.overlap_ms
+        for mid, data in zip(
+            batch["media_id"].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            data = data or b""
+            dur_ms = 5000 + (len(data) * 53) % 3_600_000  # fake duration
+            t = 0
+            i = 0
+            while t < dur_ms:
+                end = min(t + self.chunk_ms, dur_ms)
+                ids.append(mid)
+                cidx.append(i)
+                starts.append(t)
+                ends.append(end)
+                cpay.append(
+                    hashlib.blake2b(
+                        data + t.to_bytes(8, "big"), digest_size=32
+                    ).digest()
+                )
+                t += step
+                i += 1
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int32()),
+                "start_ms": pa.array(starts, pa.int64()),
+                "end_ms": pa.array(ends, pa.int64()),
+                "chunk": pa.array(cpay, pa.binary()),
+            }
+        )
+
+
+def chunk_audio(ds: Dataset, chunk_ms: int = 30_000, overlap_ms: int = 1_000,
+                concurrency=(1, 4),
+                batch_size: int = DEFAULT_MEDIA_BATCH_SIZE) -> Dataset:
+    return ds.map_batches(
+        AudioChunk,
+        fn_constructor_kwargs={
+            "chunk_ms": chunk_ms, "overlap_ms": overlap_ms, "fake": True,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

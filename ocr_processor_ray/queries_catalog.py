@@ -1523,6 +1523,17 @@ def q_media_frame_sample(sf_dir: str):
     return sample_frames(ds, n_frames=4)
 
 
+def q_media_audio_chunks(sf_dir: str):
+    """Audio chunking: fixed windows with overlap, one row per chunk
+    (the streaming-ASR pre-processing explode)."""
+    import ray.data as rd2
+
+    from ocr_processor_ray.functions.multimodal import chunk_audio, synth_media_table
+
+    ds = rd2.from_arrow(synth_media_table(n=32, seed=13))
+    return chunk_audio(ds, chunk_ms=60_000, overlap_ms=5_000)
+
+
 # ===================================================================
 # registries
 # ===================================================================
@@ -1559,6 +1570,7 @@ QUERIES = {
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "media_audio_chunks": q_media_audio_chunks,
     "flagship_extract_visual": q_flagship_extract_visual,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_security_scan": q_doc_security_scan,

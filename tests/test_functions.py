@@ -479,6 +479,36 @@ class TestMultimodal:
             with pytest.raises(NotImplementedError):
                 cls(fake=False)
 
+    def test_audio_chunks_cover_duration_with_overlap(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.multimodal import (
+            AudioChunk,
+            chunk_audio,
+            synth_media_table,
+        )
+
+        ds = rd.from_arrow(synth_media_table(n=8, seed=13))
+        df = chunk_audio(ds, chunk_ms=60_000, overlap_ms=5_000).to_pandas()
+        assert set(df.columns) == {"media_id", "chunk_idx", "start_ms", "end_ms", "chunk"}
+        for _, g in df.groupby("media_id"):
+            g = g.sort_values("chunk_idx")
+            # consecutive windows overlap by exactly chunk-step
+            starts = g["start_ms"].to_numpy()
+            assert (np.diff(starts) == 55_000).all()
+            # chunks tile the duration: every next start is before prev end
+            assert (starts[1:] < g["end_ms"].to_numpy()[:-1]).all()
+            assert (g["end_ms"] > g["start_ms"]).all()
+        # deterministic
+        df2 = chunk_audio(ds, chunk_ms=60_000, overlap_ms=5_000).to_pandas()
+        assert df.sort_values(["media_id", "chunk_idx"], ignore_index=True).equals(
+            df2.sort_values(["media_id", "chunk_idx"], ignore_index=True)
+        )
+        with pytest.raises(NotImplementedError):
+            AudioChunk(fake=False)
+        with pytest.raises(ValueError):
+            AudioChunk(chunk_ms=1000, overlap_ms=1000)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestEmbeddingNearDup:
