@@ -1457,6 +1457,37 @@ def q_conversation_docs(sf_dir: str):
     return assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
 
 
+def q_training_corpus(sf_dir: str):
+    """The WHOLE training-corpus build in one streaming pipeline:
+    raw transcripts → per-turn extraction (flagship map) → salted
+    conversation assembly → integer quality gates (≥3 turns, ≥200
+    chars, zero parse failures) → exact dedup on the assembled doc.
+    One extraction pass, one assembly shuffle, one tiny dedup fold —
+    the end-to-end shape every stage in this repo exists to serve.
+    Synthetic corpus input → rows-only driver check; determinism is
+    exercised by the repeated-run comparison."""
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.functions.dedup import exact_dedup_groups
+    from ocr_processor_ray.pipelines.conversations import assemble_conversations
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+    cfg = ExtractConfig(salt_turn_threshold=256, read_num_blocks=16)
+    docs = assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
+
+    def gate(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["n_turns"], pa.scalar(3, pa.int64())),
+                pc.greater_equal(b["doc_chars"], pa.scalar(200, pa.int64())),
+            ),
+            pc.equal(b["n_failed"], pa.scalar(0, pa.int64())),
+        )
+        return b.filter(keep).select(["conv_id", "doc"])
+
+    gated = docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup_groups(gated, id_col="conv_id", text_col="doc")
+
+
 def q_flagship_extract_visual(sf_dir: str):
     """Visual mode (O3 'visual'): word-level spans added — returned as
     per-turn span counts (deterministic ints; the span structs themselves
@@ -1571,6 +1602,7 @@ QUERIES = {
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_audio_chunks": q_media_audio_chunks,
+    "training_corpus": q_training_corpus,
     "flagship_extract_visual": q_flagship_extract_visual,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_security_scan": q_doc_security_scan,
