@@ -143,3 +143,71 @@ class Fingerprint:
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = [fingerprint_text(t, self.window) for t in batch[self.column].to_pylist()]
         return batch.append_column(self.out, pa.array(fps, pa.int64()))
+
+
+# -------------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    ds,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    capacity: int = 512,
+    num_buckets: int = 16,
+):
+    """Greedy sequence packing: assign docs to fixed-capacity token bins
+    (the training-batch packing step that turns ragged docs into dense
+    context windows). First-fit-decreasing runs PER HASH BUCKET — packing
+    is inherently sequential, so the parallel unit is a bounded bucket,
+    not the corpus; FFD waste is ≤ (11/9·OPT + 1) per bucket and buckets
+    only ever lose pairing opportunities ACROSS buckets, never validity.
+    A doc longer than ``capacity`` gets a singleton (truncation is the
+    trainer's call, not the packer's). Output:
+    (id, n_tokens, pack_id:string "bucket:bin"). Deterministic: FFD order
+    breaks token ties by id."""
+    import pandas as pd
+
+    from ray.data import Dataset  # noqa: F401  (annotation aid)
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_pandas(), dtype=object)
+        bucket = (pd.util.hash_array(ids) % num_buckets).astype(np.int32)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                token_col: pc.cast(b[token_col], pa.int64()),
+                "_bucket": pa.array(bucket),
+            }
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        bucket = int(g["_bucket"][0].as_py())
+        rows = sorted(
+            zip(g[token_col].to_pylist(), g[id_col].to_pylist()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        bins: list = []  # remaining capacity per bin
+        assign: list = []
+        for n, did in rows:
+            placed = None
+            for i, rem in enumerate(bins):
+                if n <= rem:
+                    placed = i
+                    break
+            if placed is None:
+                bins.append(max(capacity - n, 0))  # oversize doc → full singleton
+                placed = len(bins) - 1
+            else:
+                bins[placed] -= n
+            assign.append((did, n, f"{bucket}:{placed}"))
+        assign.sort()
+        return pa.table(
+            {
+                id_col: pa.array([a[0] for a in assign]),
+                token_col: pa.array([a[1] for a in assign], pa.int64()),
+                "pack_id": pa.array([a[2] for a in assign], pa.string()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(pack, batch_format="pyarrow")

@@ -1362,6 +1362,23 @@ def q_docs_hash_sample(sf_dir: str):
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_docs_pack_sequences(sf_dir: str):
+    """Sequence packing: docs → fixed-capacity token bins (128 tokens)
+    via per-bucket first-fit-decreasing. Bin membership is
+    hash-partition-local by design (packing is sequential; the parallel
+    unit is a bucket) → no SQL oracle; invariants (no bin overflow,
+    every doc exactly once, determinism) are pytest-pinned."""
+    from ocr_processor_ray.functions.text import add_token_count, pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: add_token_count(b).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pack_sequences(ds, capacity=128)
+
+
 MIX_RATES = {"en": 50, "es": 20, "fr": 20, "de": 5, "zh": 5}
 
 
@@ -1639,6 +1656,7 @@ QUERIES = {
     "signup_conversion_7d": q_signup_conversion_7d,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_mixed_sample": q_docs_mixed_sample,
+    "docs_pack_sequences": q_docs_pack_sequences,
     "docs_stratified_sample": q_docs_stratified_sample,
 }
 

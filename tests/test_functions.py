@@ -764,6 +764,41 @@ class TestSketch:
             est = int(res[res["grp"] == f"g{gi}"]["n_approx"].iloc[0])
             assert abs(est - nd) / nd < 0.05, (gi, est, nd)
 
+    def test_pack_sequences_invariants(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.text import pack_sequences
+
+        rng = np.random.RandomState(5)
+        n = 300
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "n_tokens": pa.array(
+                    rng.randint(5, 200, n).tolist(), pa.int64()
+                ),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(6)
+        cap = 128
+        res = pack_sequences(ds, capacity=cap).to_pandas()
+        # every doc assigned exactly once
+        assert sorted(res["doc_id"]) == list(range(n))
+        # no bin overflows unless it holds a single oversize doc
+        for _, g in res.groupby("pack_id"):
+            if len(g) > 1:
+                assert g["n_tokens"].sum() <= cap
+            else:
+                assert g["n_tokens"].iloc[0] <= 200
+        # packing actually packs: fewer bins than docs
+        assert res["pack_id"].nunique() < n * 0.8
+        # deterministic
+        res2 = pack_sequences(ds, capacity=cap).to_pandas()
+        key = ["doc_id"]
+        assert res.sort_values(key, ignore_index=True).equals(
+            res2.sort_values(key, ignore_index=True)
+        )
+
     def test_grouped_tdigest_rank_error_bounded(self):
         import numpy as np
         import ray.data as rd
