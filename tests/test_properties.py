@@ -65,3 +65,68 @@ def test_plain_skip_is_identity(s):
         r = extract_turn(s, mode="cli")
         if r["status"] == "skipped":
             assert r["clean_text"] == s
+
+
+# ---------------------------------------------------------------- sketches
+
+values_lists = st.lists(
+    st.one_of(st.integers(-10**9, 10**9), st.text(max_size=20)), max_size=200
+)
+
+
+@given(values_lists)
+@settings(max_examples=50, deadline=None)
+def test_cms_point_estimates_never_underestimate(vals):
+    from collections import Counter
+
+    from ocr_processor_ray.functions.sketch import cms_partial, cms_query
+
+    m = cms_partial(vals)
+    for v, n in Counter(vals).items():
+        assert cms_query(m, v) >= n
+
+
+@given(values_lists, st.integers(1, 199))
+@settings(max_examples=50, deadline=None)
+def test_cms_split_merge_equals_whole(vals, cut):
+    import numpy as np
+
+    from ocr_processor_ray.functions.sketch import cms_partial
+
+    cut = min(cut, len(vals))
+    whole = cms_partial(vals)
+    merged = cms_partial(vals[:cut]) + cms_partial(vals[cut:])
+    assert np.array_equal(whole, merged)
+
+
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=500),
+    st.integers(1, 499),
+)
+@settings(max_examples=50, deadline=None)
+def test_tdigest_weight_conserved_and_bounded(vals, cut):
+    import numpy as np
+
+    from ocr_processor_ray.functions.sketch import TD_DELTA, td_merge, td_partial
+
+    cut = min(cut, len(vals))
+    m, w = td_merge([td_partial(np.array(vals[:cut])), td_partial(np.array(vals[cut:]))])
+    assert w.sum() == len(vals)  # no mass lost in compression
+    assert len(m) <= 2 * TD_DELTA + 2  # centroid count bounded
+    if len(m):
+        assert min(vals) <= m[0] and m[-1] <= max(vals)
+
+
+@given(st.lists(st.text(min_size=0, max_size=60), max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_batch_minhash_equals_per_doc(texts):
+    import numpy as np
+
+    from ocr_processor_ray.functions.dedup import (
+        batch_minhash_signatures,
+        minhash_signature,
+    )
+
+    sigs = batch_minhash_signatures(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(sigs[i], minhash_signature(t)), i
