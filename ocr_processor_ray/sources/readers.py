@@ -40,6 +40,52 @@ def _normalize_schema(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def read_media_dir(path: str | list[str]) -> Dataset:
+    """File-crawl analog for raw media: ``read_binary_files`` over a
+    directory tree → the MEDIA_SCHEMA layout (stable int64 id from the
+    path hash, suffix-sniffed mime, unknown dims until decode). This is
+    the reference's recursive input discovery
+    (/root/reference/ocr_combined.py:232-247) applied to binary
+    payloads: parallel streaming read, one row per file, payloads never
+    touch the driver."""
+    import hashlib
+
+    import numpy as np
+
+    ds = rd.read_binary_files(path, include_paths=True)
+    _MIME = {
+        ".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
+        ".gif": "image/gif", ".wav": "audio/wav", ".mp3": "audio/mpeg",
+        ".mp4": "video/mp4", ".webm": "video/webm",
+    }
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        ids = [
+            int.from_bytes(
+                hashlib.blake2b(p.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            >> 1  # keep ids positive in int64
+            for p in paths
+        ]
+        mimes = [
+            _MIME.get("." + p.rsplit(".", 1)[-1].lower() if "." in p else "", "application/octet-stream")
+            for p in paths
+        ]
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pc.cast(batch["bytes"], pa.binary()),
+                "mime": pa.array(mimes, pa.string()),
+                "width": pa.array(np.zeros(n, dtype=np.int32)),
+                "height": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_transcripts_any(
     path: str | list[str],
     format: str = "parquet",

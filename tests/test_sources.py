@@ -119,6 +119,36 @@ def test_export_result_roundtrip(tmp_path, fmt):
     )
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_read_media_dir_discovers_files(tmp_path):
+    from ocr_processor_ray.functions.multimodal import MEDIA_SCHEMA, decode_images
+    from ocr_processor_ray.sources.readers import read_media_dir
+
+    root = tmp_path / "media"
+    (root / "sub").mkdir(parents=True)
+    files = {
+        "a.png": b"\x89PNG fake" * 10,
+        "b.jpg": b"\xff\xd8 fake jpeg" * 5,
+        "sub/c.wav": b"RIFF fake wav" * 7,
+        "sub/d.unknownext": b"????",
+    }
+    for rel, data in files.items():
+        (root / rel).write_bytes(data)
+    ds = read_media_dir(str(root))
+    df = ds.to_pandas()
+    assert len(df) == 4
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    assert {f.name for f in t.schema} == {f.name for f in MEDIA_SCHEMA}
+    assert set(df["mime"]) == {
+        "image/png", "image/jpeg", "audio/wav", "application/octet-stream"
+    }
+    assert df["media_id"].nunique() == 4 and (df["media_id"] >= 0).all()
+    assert sorted(df["payload"].map(len)) == sorted(len(v) for v in files.values())
+    # the crawl output feeds the decode stage directly
+    feats = decode_images(ds).to_pandas()
+    assert len(feats) == 4
+
+
 def test_export_unknown_format_rejected(tmp_path):
     from ocr_processor_ray.pipelines.export import export_result
 
