@@ -1218,6 +1218,55 @@ def q_doc_redact(sf_dir: str):
     return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_doc_dup_lines(sf_dir: str):
+    """Repetition quality signal (the Gopher-style duplicate-line
+    filter): per doc, total lines vs distinct lines — high duplication
+    marks boilerplate/spam for removal. Pure integers, exact oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def dup(b: pa.Table) -> pa.Table:
+        lines_list = pc.split_pattern(b["text"], pattern="\n")
+        n_lines = pc.cast(pc.list_value_length(lines_list), pa.int64())
+        n_distinct = pa.array(
+            [len(set(ls)) for ls in lines_list.to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_lines": n_lines,
+                "n_dup_lines": pc.subtract(n_lines, n_distinct),
+            }
+        )
+
+    return ds.map_batches(dup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_compression_ratio(sf_dir: str):
+    """Compression-ratio quality signal: zlib-compressed size per 10k
+    source bytes (low ratio = repetitive text — the cheap entropy probe
+    LLM-data filters use). zlib output is library-versioned → no SQL
+    oracle; determinism is covered by the repeated-run check."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b["text"].to_pylist():
+            raw = t.encode("utf-8")
+            out.append(
+                len(zlib.compress(raw, 6)) * 10_000 // max(len(raw), 1)
+            )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "compress_per_10k": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_docs_top_words(sf_dir: str):
     """Global top-20 words by frequency: vectorized Arrow word explode
     (flat-map), two-phase hash count over the full vocabulary (auto-shards
@@ -1650,6 +1699,8 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "events_props_sum": q_events_props_sum,
     "doc_redact": q_doc_redact,
+    "doc_dup_lines": q_doc_dup_lines,
+    "doc_compression_ratio": q_doc_compression_ratio,
     "docs_top_words": q_docs_top_words,
     "word_postings": q_word_postings,
     "doc_top_terms": q_doc_top_terms,
@@ -1940,6 +1991,13 @@ FROM c
     "docs_hash_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    "doc_dup_lines": """
+        SELECT doc_id,
+               CAST(len(split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(split(text, chr(10)))
+                    - len(list_distinct(split(text, chr(10)))) AS BIGINT) AS n_dup_lines
+        FROM documents
     """,
     "docs_mixed_sample": """
         SELECT doc_id, lang FROM documents

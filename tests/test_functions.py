@@ -838,3 +838,59 @@ class TestSketch:
         est = approx_quantiles(ds, "x", [0.5, 0.9])
         assert abs(est[0.5] - 50.0) < 0.5
         assert abs(est[0.9] - 90.0) < 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualitySignals:
+    def test_dup_lines_counts_planted_duplicates(self):
+        import duckdb
+        import ray.data as rd
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a\nb\nc",          # no dups
+                        "x\nx\nx\ny",      # 2 dup lines
+                        "only one line",   # no newline at all
+                    ]
+                ),
+            }
+        )
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        d = tempfile.mkdtemp()
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        from ocr_processor_ray.queries_catalog import ORACLE_SQL, QUERIES
+
+        got = QUERIES["doc_dup_lines"](d).to_pandas().set_index("doc_id")
+        assert got.loc[1, "n_dup_lines"] == 2 and got.loc[1, "n_lines"] == 4
+        assert got.loc[0, "n_dup_lines"] == 0
+        assert got.loc[2, "n_lines"] == 1
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        want = con.sql(ORACLE_SQL["doc_dup_lines"]).df().set_index("doc_id")
+        assert got.sort_index().equals(want.sort_index().astype(got.dtypes))
+
+    def test_compression_ratio_orders_repetitive_below_random(self):
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(2)
+        rand_text = " ".join(
+            "".join(chr(97 + c) for c in rng.randint(0, 26, 8)) for _ in range(200)
+        )
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["spam " * 400, rand_text]),
+            }
+        )
+        d = tempfile.mkdtemp()
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        from ocr_processor_ray.queries_catalog import QUERIES
+
+        got = QUERIES["doc_compression_ratio"](d).to_pandas().set_index("doc_id")
+        assert got.loc[0, "compress_per_10k"] < got.loc[1, "compress_per_10k"]
