@@ -174,11 +174,11 @@ def grouped_topk(
     # the combine by key hash — all rows of a key land in one shard, so
     # per-shard ranking is exact; only candidates move through the
     # shuffle, never whole groups
-    import pandas as pd
-
     def add_shard(b: pa.Table) -> pa.Table:
+        from ocr_processor_ray.functions.hashing import stable_hash_array
+
         kv = b[key].to_numpy(zero_copy_only=False)
-        shard = (pd.util.hash_array(kv) % 64).astype(np.int32)
+        shard = (stable_hash_array(kv) % 64).astype(np.int32)
         return b.append_column("_kshard", pa.array(shard))
 
     sharded = partials.map_batches(

@@ -101,30 +101,12 @@ _SHINGLE_MUL = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
 
 def _word_hashes(words: list) -> np.ndarray:
-    """Deterministic 64-bit hash per word (siphash with pandas' fixed
-    default key — stable across processes and machines).
-    ``categorize=False`` is required for element-wise stability: the
-    categorize path factorizes first and hashes NUL-containing strings
-    differently depending on the surrounding array (found by the
-    hypothesis batch-vs-per-doc property)."""
-    import pandas as pd
+    """Deterministic 64-bit hash per word — value-determined even for
+    NUL-containing strings (see functions/hashing.py for the pandas
+    C-string trap this guards against)."""
+    from ocr_processor_ray.functions.hashing import stable_hash_array
 
-    arr = np.asarray(words, dtype=object)
-    # factorize manually (hash-based, O(n)): hash only the unique
-    # vocabulary — stable element-wise with categorize=False — then
-    # gather. pandas' khash string table uses C-string semantics (NUL
-    # truncates), so if the (small) vocabulary contains a NUL word,
-    # escape per word and re-factorize — the escape is element-wise,
-    # keeping the batch and per-doc paths bit-identical (found by the
-    # hypothesis batch-vs-per-doc property).
-    if any("\x00" in w for w in words):  # scan originals — the conflated
-        # vocab hides the NUL word, so it can't be detected post-factorize
-        arr = np.asarray([w.replace("\x00", "\\x00") for w in words], dtype=object)
-    codes, uniq = pd.factorize(arr)
-    h = pd.util.hash_array(
-        np.asarray(uniq, dtype=object), categorize=False
-    ).astype(np.uint64)
-    return h[codes]
+    return stable_hash_array(words)
 
 
 def _rolling_shingles(wh: np.ndarray, k: int) -> np.ndarray:

@@ -1,0 +1,44 @@
+"""One stable vectorized hash for every bucketing decision in the repo.
+
+``pd.util.hash_array``'s default ``categorize=True`` path (and
+``pd.factorize``) build khash string tables with C-string semantics:
+a NUL byte truncates, so two strings that differ only past a NUL
+CONFLATE — and, worse, the conflation depends on which other strings
+share the array. A key could therefore hash to different buckets on
+the two sides of a join (silently dropping matches) or between the
+partial and combine stages of an aggregate. Found by the hypothesis
+batch-vs-per-doc minhash property (functions/dedup.py).
+
+``stable_hash_array`` keeps the speed of the categorize trick —
+factorize once, siphash only the unique values with element-wise
+``categorize=False`` — while escaping NUL-bearing inputs first so the
+result depends only on the VALUE, never on the surrounding array.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def stable_hash_array(values) -> np.ndarray:
+    """uint64 value-determined hash per element (int or string arrays).
+    Same fixed-key siphash family as pandas, safe for NUL-containing
+    strings, identical results for the same value in any array."""
+    import pandas as pd
+
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iuf":
+        # numeric: element-wise, no string table involved
+        return pd.util.hash_array(values, categorize=False).astype(np.uint64)
+    # strings go STRAIGHT to object dtype: np.asarray(list_of_str) builds
+    # a '<U' array, and numpy '<U' arrays silently strip trailing NULs
+    arr = np.asarray(values, dtype=object)
+    if any(isinstance(w, str) and "\x00" in w for w in arr):
+        arr = np.asarray(
+            [w.replace("\x00", "\\x00") if isinstance(w, str) else w for w in arr],
+            dtype=object,
+        )
+    codes, uniq = pd.factorize(arr)
+    h = pd.util.hash_array(
+        np.asarray(uniq, dtype=object), categorize=False
+    ).astype(np.uint64)
+    return h[codes]

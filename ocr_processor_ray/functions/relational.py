@@ -129,7 +129,11 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int):
         keys = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
         return (keys % num_buckets).astype(np.int32)
     vals = np.asarray(col.to_pandas(), dtype=object)
-    return (pd.util.hash_array(vals) % num_buckets).astype(np.int32)
+    from ocr_processor_ray.functions.hashing import stable_hash_array
+
+    # value-determined hash — see functions/hashing.py for the pandas
+    # NUL/C-string trap that would otherwise drop join matches
+    return (stable_hash_array(vals) % num_buckets).astype(np.int32)
 
 
 def _tagged_bucket_union(

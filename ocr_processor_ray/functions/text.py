@@ -170,8 +170,10 @@ def pack_sequences(
     from ray.data import Dataset  # noqa: F401  (annotation aid)
 
     def tag(b: pa.Table) -> pa.Table:
+        from ocr_processor_ray.functions.hashing import stable_hash_array
+
         ids = np.asarray(b[id_col].to_pandas(), dtype=object)
-        bucket = (pd.util.hash_array(ids) % num_buckets).astype(np.int32)
+        bucket = (stable_hash_array(ids) % num_buckets).astype(np.int32)
         return pa.table(
             {
                 id_col: b[id_col],

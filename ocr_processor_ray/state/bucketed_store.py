@@ -27,7 +27,6 @@ import os
 import uuid
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -38,10 +37,12 @@ _META = "_meta.json"
 
 def _bucket_of(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
     """Deterministic bucket per value (same hash family as
-    ``relational._tagged_bucket_union`` — pandas fixed-key siphash, so
-    int and string keys both work)."""
+    ``relational._tagged_bucket_union`` — value-determined siphash via
+    ``functions/hashing.stable_hash_array``, int and string keys)."""
+    from ocr_processor_ray.functions.hashing import stable_hash_array
+
     vals = np.asarray(arr.to_pandas(), dtype=object)
-    return (pd.util.hash_array(vals) % num_buckets).astype(np.int32)
+    return (stable_hash_array(vals) % num_buckets).astype(np.int32)
 
 
 def write_bucketed(

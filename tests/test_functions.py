@@ -894,3 +894,36 @@ class TestQualitySignals:
 
         got = QUERIES["doc_compression_ratio"](d).to_pandas().set_index("doc_id")
         assert got.loc[0, "compress_per_10k"] < got.loc[1, "compress_per_10k"]
+
+
+class TestStableHash:
+    def test_value_determined_regardless_of_array(self):
+        from ocr_processor_ray.functions.hashing import stable_hash_array
+
+        vals = ["", "\x00", "a", "a\x00b", "normal"]
+        together = stable_hash_array(vals).tolist()
+        alone = [stable_hash_array([v])[0] for v in vals]
+        assert together == alone
+        # NUL strings don't conflate with the empty string
+        assert together[0] != together[1]
+
+    def test_numeric_and_string_paths(self):
+        from ocr_processor_ray.functions.hashing import stable_hash_array
+
+        a = stable_hash_array(np.array([1, 2, 3], dtype=np.int64))
+        b = stable_hash_array(np.array([3, 2, 1], dtype=np.int64))
+        assert a[0] == b[2] and a[2] == b[0]  # value-determined
+        s = stable_hash_array(["x", "y", "x"])
+        assert s[0] == s[2] != s[1]
+
+    def test_string_join_bucket_consistency_with_nul(self):
+        """A NUL-bearing key must land in the same bucket on both join
+        sides even when the surrounding key sets differ."""
+        from ocr_processor_ray.functions.relational import _bucket_of
+
+        k = "weird\x00key"
+        left = pa.chunked_array([pa.array([k, "a", "b", ""])])
+        right = pa.chunked_array([pa.array(["zz", k])])
+        bl = _bucket_of(left, 16)
+        br = _bucket_of(right, 16)
+        assert bl[0] == br[1]
