@@ -79,6 +79,11 @@ def connected_components(
         )
         return sum(r["s"] for r in p.take_all())
 
+    import logging
+
+    logger = logging.getLogger(__name__)
+
+    converged = False
     prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         from ocr_processor_ray.functions.relational import bucketed_join
@@ -104,8 +109,20 @@ def connected_components(
         ).materialize()
         cur = _label_sum(labels)
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+
+    if not converged:
+        # labels propagate one hop per round, so a component whose
+        # diameter exceeds max_iters would come back silently split —
+        # make that loud instead of wrong-looking-right
+        logger.warning(
+            "connected_components: no fixpoint within max_iters=%d — "
+            "components wider than that are NOT fully merged; raise "
+            "max_iters (rounds needed = max component diameter)",
+            max_iters,
+        )
 
     return labels.map_batches(
         lambda b: pa.table(

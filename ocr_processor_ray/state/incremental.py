@@ -94,7 +94,15 @@ def incremental_agg_update(
     else:
         merged = inc_partial
 
-    new_gen = cur_gen + 1
+    # a crash between a generation write and the meta swap leaves an
+    # orphan gen dir; skip past any such orphans so the retry's rename
+    # can't collide with a non-empty destination
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_dir)
+        if d.startswith("gen=")
+    ]
+    new_gen = max([cur_gen] + existing) + 1
     tmp = os.path.join(store_dir, f".gen.{uuid.uuid4().hex}.tmp")
     merged.write_parquet(tmp)  # parallel sink — one file per block, never one giant file
     os.replace(tmp, _gen_dir(store_dir, new_gen))

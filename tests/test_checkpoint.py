@@ -248,6 +248,33 @@ class TestIncrementalAgg:
                 str(tmp_path / "s"), h1, ["event_type"],
                 [("event_id", "median", "m")], increment_id="x",
             )
+    def test_orphan_generation_does_not_block_retry(self, tmp_path):
+        """A crash after the gen write but before the meta swap leaves an
+        orphan gen dir; the retry must fold the increment cleanly."""
+        import os
+
+        import pandas as pd
+
+        from ocr_processor_ray.functions.agg import two_phase_agg
+        from ocr_processor_ray.state.incremental import (
+            incremental_agg_read,
+            incremental_agg_update,
+        )
+
+        full, h1, h2 = self._halves()
+        store = str(tmp_path / "store")
+        incremental_agg_update(store, h1, *self.SPEC, increment_id="h1")
+        # simulate the crash: orphan gen=000001 exists, meta still at gen 0
+        os.makedirs(os.path.join(store, "gen=000001", "leftover"), exist_ok=True)
+        incremental_agg_update(store, h2, *self.SPEC, increment_id="h2")
+        got = incremental_agg_read(store).to_pandas().sort_values(
+            "event_type", ignore_index=True
+        )
+        want = two_phase_agg(full, *self.SPEC).to_pandas().sort_values(
+            "event_type", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
 
 
 @pytest.mark.usefixtures("ray_session")
