@@ -298,18 +298,19 @@ def approx_distinct_by(ds: Dataset, group_col: str, column: str) -> Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         groups = batch[group_col]
         dic = pc.dictionary_encode(groups.combine_chunks())
-        codes = (
-            dic.indices.to_numpy(zero_copy_only=False)
-            if isinstance(dic, pa.Array)
-            else dic.combine_chunks().indices.to_numpy(zero_copy_only=False)
-        )
-        uniq = dic.dictionary if isinstance(dic, pa.Array) else dic.combine_chunks().dictionary
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        uniq = dic.dictionary
         vals = batch[column].to_pylist()
+        # segment by group via ONE stable argsort — O(n log n), not the
+        # O(n × #groups) per-group rescan that bites high-cardinality keys
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        bounds = np.searchsorted(sorted_codes, np.arange(len(uniq) + 1))
         out_g, out_r = [], []
         for code in range(len(uniq)):
-            sel = [v for v, c in zip(vals, codes) if c == code]
+            seg = order[bounds[code] : bounds[code + 1]]
             out_g.append(uniq[code].as_py())
-            out_r.append(hll_registers(sel).tobytes())
+            out_r.append(hll_registers([vals[i] for i in seg]).tobytes())
         return pa.table(
             {
                 group_col: pa.array(out_g),
@@ -349,9 +350,15 @@ def approx_quantiles_by(
         codes = dic.indices.to_numpy(zero_copy_only=False)
         uniq = dic.dictionary
         vals = batch[column].to_numpy(zero_copy_only=False)
+        # one stable argsort segments every group — linear-ish, no
+        # O(n × #groups) mask rescans at high key cardinality
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        sorted_vals = vals[order]
+        bounds = np.searchsorted(sorted_codes, np.arange(len(uniq) + 1))
         out_g, out_m, out_w = [], [], []
         for code in range(len(uniq)):
-            m, w = td_partial(vals[codes == code])
+            m, w = td_partial(sorted_vals[bounds[code] : bounds[code + 1]])
             out_g.append(uniq[code].as_py())
             out_m.append(m.tobytes())
             out_w.append(w.tobytes())
