@@ -158,6 +158,14 @@ def run_bench() -> dict:
     )
     DataContext.get_current().enable_progress_bars = False
 
+    # spawn + warm the fresh session's workers so the timed headline
+    # measures the pipeline, not process startup
+    import ray.data as _rd
+
+    _rd.range(NUM_CPUS * 4096, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
     import shutil
 
     out_dir = "/tmp/opr_bench_headline_out"
