@@ -16,7 +16,7 @@ processing modes are the reference's (ocr_combined.py:124-143):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 MODES = ("cli", "force", "visual")
 

@@ -23,7 +23,6 @@ block — true near-dup components are capped upstream (MAX_BUCKET_MEMBERS).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset

@@ -15,7 +15,6 @@ tables, with scale-honest shapes:
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import pandas as pd
 import pyarrow as pa

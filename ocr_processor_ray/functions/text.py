@@ -165,9 +165,6 @@ def pack_sequences(
     trainer's call, not the packer's). Output:
     (id, n_tokens, pack_id:string "bucket:bin"). Deterministic: FFD order
     breaks token ties by id."""
-    import pandas as pd
-
-    from ray.data import Dataset  # noqa: F401  (annotation aid)
 
     def tag(b: pa.Table) -> pa.Table:
         from ocr_processor_ray.functions.hashing import stable_hash_array

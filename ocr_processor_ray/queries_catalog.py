@@ -13,7 +13,6 @@ between Ray and DuckDB regardless of summation order.
 
 from __future__ import annotations
 
-import functools
 from datetime import datetime
 
 import numpy as np
