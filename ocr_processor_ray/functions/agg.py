@@ -61,7 +61,18 @@ def two_phase_agg(
     count_outs = {out for _, fn, out in aggs if fn == "count"}
 
     def partial(batch: pa.Table) -> pa.Table:
-        return batch.group_by(keys).aggregate(phase1)
+        # COUNT(*) semantics: pyarrow's hash count defaults to only_valid
+        # (non-null), which would silently undercount vs a count(*)
+        # oracle on any null-bearing column — force mode='all' (ADVICE
+        # round 2). CountOptions is built HERE because the cython options
+        # object cannot ride a cloudpickled closure.
+        import pyarrow.compute as _pc
+
+        specs = [
+            (col, fn, _pc.CountOptions(mode="all")) if fn == "count" else (col, fn)
+            for col, fn in phase1
+        ]
+        return batch.group_by(keys).aggregate(specs)
 
     def _finalize(out: pa.Table, src_names: list[str]) -> pa.Table:
         cols = {k: out[k] for k in keys}

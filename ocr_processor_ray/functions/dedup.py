@@ -432,9 +432,14 @@ def minhash_lsh_pairs(
 
 
 # per-worker token → ±1 bit-vector cache: word frequency is Zipfian, so
-# the hot vocabulary hashes once per worker instead of once per occurrence
+# the hot vocabulary hashes once per worker instead of once per occurrence.
+# Cap is sized by MEMORY, not hit rate: each entry is a 64×int64 vector
+# (~600 B with overhead), so 2^16 entries ≈ 40 MB/worker — a 2^20 cap
+# would be ~0.6 GB and an OOM risk on high-vocabulary corpora (ADVICE
+# round 2). Zipf means the head of the vocabulary (which is what gets
+# cached first) carries nearly all occurrences anyway.
 _SIMHASH_CACHE: dict[str, np.ndarray] = {}
-_SIMHASH_CACHE_MAX = 1 << 20
+_SIMHASH_CACHE_MAX = 1 << 16
 
 
 def _token_signs(w: str) -> np.ndarray:

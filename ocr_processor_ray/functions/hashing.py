@@ -32,9 +32,19 @@ def stable_hash_array(values) -> np.ndarray:
     # strings go STRAIGHT to object dtype: np.asarray(list_of_str) builds
     # a '<U' array, and numpy '<U' arrays silently strip trailing NULs
     arr = np.asarray(values, dtype=object)
-    if any(isinstance(w, str) and "\x00" in w for w in arr):
+    # Injective NUL escape: the escape char itself is escaped first, so
+    # 'a\x00b' → 'a\\0b' can never collide with a literal 'a\\0b' (which
+    # becomes 'a\\\\0b'). Strings without NUL or backslash — the vast
+    # majority — pass through untouched, and the encoding of a value
+    # never depends on what else shares the array.
+    if any(isinstance(w, str) and ("\x00" in w or "\\" in w) for w in arr):
         arr = np.asarray(
-            [w.replace("\x00", "\\x00") if isinstance(w, str) else w for w in arr],
+            [
+                w.replace("\\", "\\\\").replace("\x00", "\\0")
+                if isinstance(w, str) and ("\x00" in w or "\\" in w)
+                else w
+                for w in arr
+            ],
             dtype=object,
         )
     codes, uniq = pd.factorize(arr)

@@ -69,7 +69,11 @@ def broadcast_join(
                 idx = idx.filter(valid)
             taken = small["payload"].take(idx)  # null index → null row (left)
             for c in payload_cols:
-                batch = batch.append_column(c, taken[c])
+                # non-key name collision with the big side: suffix the
+                # small side's column (same "_r" convention as the pandas
+                # fallback below) instead of emitting a duplicate name
+                name = c if c not in batch.column_names else c + "_r"
+                batch = batch.append_column(name, taken[c])
             return batch
 
         return big.map_batches(join_arrow, batch_format="pyarrow", zero_copy_batch=True)
@@ -79,7 +83,7 @@ def broadcast_join(
 
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
         small = ray.get(small_ref)
-        return batch.merge(small, on=on, how=how)
+        return batch.merge(small, on=on, how=how, suffixes=("", "_r"))
 
     return big.map_batches(join_batch, batch_format="pandas")
 

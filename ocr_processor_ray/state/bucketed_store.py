@@ -49,8 +49,30 @@ def write_bucketed(
 ) -> dict:
     """Persist ``ds`` hash-bucketed by ``key``. One shuffle (groupby
     bucket); each bucket lands atomically; existing buckets are skipped
-    (resume). Returns the store meta."""
+    (resume). Returns the store meta.
+
+    The meta (key + bucket count) is written BEFORE the buckets: a
+    resume against a store laid out differently (other key, other
+    ``num_buckets``) fails fast instead of silently mixing stale and
+    fresh buckets (ADVICE round 2). Resuming a store written from
+    *different data* with the same layout is on the caller — the same
+    contract as the extraction checkpoint's partition skip."""
     os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, _META)
+    meta = {"key": key, "num_buckets": num_buckets}
+    if os.path.exists(meta_path):
+        existing = _read_meta(out_dir)
+        if existing != meta:
+            raise ValueError(
+                f"store at {out_dir} was bucketed as {existing}, "
+                f"requested {meta} — refusing to mix layouts; "
+                "write to a fresh directory"
+            )
+    else:
+        tmp = os.path.join(out_dir, f".{_META}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
 
     def tag(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -80,12 +102,6 @@ def write_bucketed(
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     written = tagged.groupby("_bucket").map_groups(write_group, batch_format="pyarrow")
     written.materialize()  # drive the writes
-
-    meta = {"key": key, "num_buckets": num_buckets}
-    tmp = os.path.join(out_dir, f".{_META}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, _META))
     return meta
 
 

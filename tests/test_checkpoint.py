@@ -339,6 +339,25 @@ class TestBucketedStore:
         write_bucketed(cust, d, "c_custkey", 8)  # resume: all buckets skipped
         assert read_bucketed(d).count() == n1 == 150
 
+    def test_resume_with_different_layout_fails_fast(self, tmp_path):
+        """Re-running write_bucketed against an existing store with a
+        different key or bucket count must raise, not silently mix stale
+        and fresh buckets (ADVICE r2)."""
+        import ray.data as rd
+
+        from ocr_processor_ray.state.bucketed_store import write_bucketed
+
+        cust = rd.read_parquet(
+            "/root/testdata/sf0.001/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        )
+        d = str(tmp_path / "store")
+        write_bucketed(cust, d, "c_custkey", 8)
+        with pytest.raises(ValueError):
+            write_bucketed(cust, d, "c_custkey", 16)  # other bucket count
+        with pytest.raises(ValueError):
+            write_bucketed(cust, d, "c_nationkey", 8)  # other key
+
     def test_mismatched_bucket_count_rejected(self, tmp_path):
         import ray.data as rd
 

@@ -353,6 +353,24 @@ class TestJoins:
         assert len(left) == 4
         assert left.loc[left["k"] == 99, "name"].isna().all()
 
+    def test_broadcast_join_payload_name_collision_suffixed(self):
+        """A small-side payload column sharing a name with a big-side
+        column must come back suffixed '_r' on BOTH paths (ADVICE r2) —
+        never as a silent duplicate column name."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import broadcast_join
+
+        big = pd.DataFrame({"k": [1, 2], "v": [10, 20], "name": ["big1", "big2"]})
+        small_uniq = pd.DataFrame({"k": [1, 2], "name": ["s1", "s2"]})
+        got = broadcast_join(rd.from_pandas(big), small_uniq, on="k").to_pandas()
+        assert sorted(got.columns) == ["k", "name", "name_r", "v"]
+        assert got.sort_values("k")["name_r"].tolist() == ["s1", "s2"]
+        # pandas fallback path (duplicate small keys) — same convention
+        small_dup = pd.DataFrame({"k": [1, 1], "name": ["x", "y"]})
+        got2 = broadcast_join(rd.from_pandas(big), small_dup, on="k").to_pandas()
+        assert sorted(got2.columns) == ["k", "name", "name_r", "v"]
+
     def test_broadcast_join_duplicate_small_keys_fall_back(self):
         import ray.data as rd
 
@@ -391,6 +409,21 @@ class TestTwoPhaseAgg:
         )
         pd.testing.assert_frame_equal(one, sharded, check_dtype=True)
         assert str(one["n"].dtype) == "int64"
+
+    def test_count_is_count_star_with_nulls(self):
+        """fn='count' must count ROWS (count(*) semantics), not non-null
+        values — pyarrow's hash count defaults to only_valid (ADVICE r2)."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.agg import two_phase_agg
+
+        df = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, None, 2.0]})
+        out = (
+            two_phase_agg(rd.from_pandas(df), ["k"], [("v", "count", "n")])
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert out["n"].tolist() == [2, 1]
 
     def test_count_in_user_column_name_not_truncated(self):
         """A sum over a float column merely NAMED '...count...' must stay
@@ -906,6 +939,18 @@ class TestStableHash:
         assert together == alone
         # NUL strings don't conflate with the empty string
         assert together[0] != together[1]
+
+    def test_escape_is_injective(self):
+        """'a\\x00b' and the literal string 'a\\0b' must hash differently —
+        the escape char is escaped first, so the encoding is injective
+        (ADVICE r2: non-injective escaping conflated distinct values)."""
+        from ocr_processor_ray.functions.hashing import stable_hash_array
+
+        vals = ["a\x00b", "a\\0b", "a\\x00b", "a\\\\0b", "\\", "\x00"]
+        hs = stable_hash_array(vals).tolist()
+        assert len(set(hs)) == len(vals)
+        # and still value-determined one-at-a-time
+        assert hs == [stable_hash_array([v])[0] for v in vals]
 
     def test_numeric_and_string_paths(self):
         from ocr_processor_ray.functions.hashing import stable_hash_array
