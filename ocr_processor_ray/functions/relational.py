@@ -88,6 +88,41 @@ def broadcast_join(
     return big.map_batches(join_batch, batch_format="pandas")
 
 
+def bucketed_map_groups(
+    ds: Dataset,
+    key: str,
+    kernel,
+    num_buckets: int = 64,
+) -> Dataset:
+    """``groupby(key).map_groups(kernel)`` with a COARSE shuffle key.
+
+    Grouping a sort-based Ray shuffle by a high-cardinality raw key
+    (user_id at 10^8 users) creates one tiny Ray group per key — the
+    measured #1 wall-time trap (see pipelines/conversations.py). This
+    groups by ``hash(key) % num_buckets`` instead, which co-locates all
+    rows of one key in one bounded group, then runs ``kernel`` once per
+    REAL key inside the task via an in-task pandas groupby. Semantics
+    are identical to the raw-key map_groups for any per-key kernel.
+
+    ``num_buckets`` bounds both shuffle fan-out and per-task memory
+    (one bucket ≈ rows/num_buckets); skewed keys bound a bucket by the
+    hottest key's row count — salt upstream if one key dominates.
+    """
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", pa.array(_bucket_of(b[key], num_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        outs = [kernel(sub) for _, sub in g.groupby(key, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,

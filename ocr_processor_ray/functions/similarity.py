@@ -161,6 +161,7 @@ def exact_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
 ) -> Dataset:
     """EXACT all-pairs cosine similarity join: (id_a < id_b, cos ≥ threshold).
 
@@ -172,12 +173,28 @@ def exact_near_dup_pairs(
     ``embedding_near_dup_pairs`` (LSH) is the scale path once the matrix
     no longer fits a worker's heap.
 
+    SIZE-GATED: building the broadcast matrix materializes the whole
+    embedding table once, so inputs beyond ``max_broadcast_rows``
+    (2M rows × e.g. 64 dims ≈ 1 GB float64) raise loudly instead of
+    OOM-ing the driver — at that size an exact all-pairs join is the
+    wrong tool at any engine; use ``embedding_near_dup_pairs``.
+
     Output carries pair ids only (no float column) so results compare
     bit-exactly across engines; boundary safety requires the corpus to
     have no pair within float-kernel drift (~1e-6) of the threshold.
     """
     import ray
 
+    ds = ds.materialize()
+    n_rows = ds.count()  # free on a materialized dataset
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"exact_near_dup_pairs: input has {n_rows} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; an exact all-pairs "
+            "cosine join does not fit a broadcast matrix at this size — "
+            "use embedding_near_dup_pairs (LSH) instead, or raise the cap "
+            "if a worker can genuinely hold the matrix"
+        )
     t = pa.concat_tables(ray.get(ds.to_arrow_refs()))
     ids_all = np.asarray(t[id_col].combine_chunks())
     m_all = _normalize(_batch_matrix(t, vec_col).astype(np.float64))

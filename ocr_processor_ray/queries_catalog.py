@@ -24,7 +24,12 @@ from ray.data import Dataset
 
 from ocr_processor_ray.functions.agg import two_phase_agg
 from ocr_processor_ray.functions.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
-from ocr_processor_ray.functions.relational import broadcast_join, bucketed_join, hash_join
+from ocr_processor_ray.functions.relational import (
+    broadcast_join,
+    bucketed_join,
+    bucketed_map_groups,
+    hash_join,
+)
 from ocr_processor_ray.functions.similarity import brute_force_topk, lsh_topk
 from ocr_processor_ray.functions.text import (
     TOKEN_RE,
@@ -325,8 +330,10 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 def q_user_sessions(sf_dir: str):
     """Sessionization: per-user ordered gap > 30 min starts a new session.
 
-    groupby(user_id).map_groups over ts-sorted groups — the
-    streaming-shaped pattern (ordered, partitioned log) from SURVEY §2.9.
+    Coarse-bucketed groupby (hash(user) % B co-locates each user's
+    rows; kernel runs per user in-task) — the streaming-shaped pattern
+    (ordered, partitioned log) from SURVEY §2.9 without one Ray group
+    per user.
     """
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
@@ -335,7 +342,7 @@ def q_user_sessions(sf_dir: str):
         n = 1 + int((np.diff(ts) > SESSION_GAP_US).sum()) if len(ts) else 0
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed_map_groups(ds, "user_id", sessions)
 
 
 # ===================================================================
@@ -421,7 +428,15 @@ def q_top_orders_revenue(sf_dir: str):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """lineitem ⋈ orders (bucketed) ⋈ customer ⋈ nation (broadcast)."""
+    """lineitem ⋈ orders ⋈ customer (both big-big, pre-aggregated before
+    each exchange) ⋈ nation (broadcast — the only genuinely fixed-size
+    dimension: 25 rows at ANY scale factor).
+
+    Customer is sf-scaled (150M rows at sf1000), so it stays a Dataset
+    and joins via the bucketed hash join — never a driver-side read
+    (VERDICT round 2). Exchange volume shrinks at every step: lineitem
+    → #orders rows → #customers rows → 25 rows.
+    """
     import pyarrow.parquet as pq
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -441,13 +456,30 @@ def q_revenue_by_nation(sf_dir: str):
     joined = hash_join(li_agg, orders, on="l_orderkey", right_on="o_orderkey",
                        num_partitions=16)
 
-    # small side: customer ⋈ nation resolved driver-side, broadcast once
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_nation = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
-        ["c_custkey", "n_name"]
-    ].rename(columns={"c_custkey": "o_custkey"})
-    with_nation = broadcast_join(joined, cust_nation, on="o_custkey")
+    # pre-aggregate to one row per customer BEFORE the customer join —
+    # the exchange then moves #customers rows, not #orders
+    per_cust = two_phase_agg(joined, ["o_custkey"], [("rev_c", "sum", "rev_c")])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b["c_custkey"], "c_nationkey": b["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    with_cust = bucketed_join(
+        per_cust,
+        cust,
+        on="o_custkey",
+        num_buckets=16,
+        l_schema={"o_custkey": pa.int64(), "rev_c": pa.int64()},
+        r_schema={"o_custkey": pa.int64(), "c_nationkey": pa.int32()},
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    with_nation = broadcast_join(with_cust, nation, on="c_nationkey")
     agg = two_phase_agg(with_nation, ["n_name"], [("rev_c", "sum", "revenue")])
     return _descale(agg, "revenue", 10000)
 
@@ -513,8 +545,8 @@ def q_supplier_acctbal_by_nation(sf_dir: str):
 def q_events_sliding_1h(sf_dir: str):
     """Sliding-window aggregate: per event, how many events the same user
     produced in the preceding hour (inclusive of self). Two-pointer sweep
-    over the ts-sorted group — the map_groups window pattern; oracle is a
-    RANGE window frame."""
+    over each user's ts-sorted rows — coarse-bucketed shuffle, per-user
+    kernel in-task; oracle is a RANGE window frame."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
@@ -533,7 +565,7 @@ def q_events_sliding_1h(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(sweep, batch_format="pandas")
+    return bucketed_map_groups(ds, "user_id", sweep)
 
 
 def q_building_segment_revenue(sf_dir: str):
@@ -646,7 +678,7 @@ def q_events_topk_per_type(sf_dir: str):
 
 
 def q_events_user_median(sf_dir: str):
-    """Exact per-user median — groupby(user).map_groups over scaled ints
+    """Exact per-user median — coarse-bucketed groupby over scaled ints
     (group size = one user's events; the all-users global median is the
     separate histogram-select query)."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
@@ -660,7 +692,7 @@ def q_events_user_median(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(med, batch_format="pandas")
+    return bucketed_map_groups(ds, "user_id", med)
 
 
 def q_purchase_errors_prev_1h(sf_dir: str):
@@ -692,7 +724,7 @@ def q_purchase_errors_prev_1h(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(count_range, batch_format="pandas")
+    return bucketed_map_groups(ds, "user_id", count_range)
 
 
 def q_signup_conversion_7d(sf_dir: str):
@@ -725,7 +757,7 @@ def q_signup_conversion_7d(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(probe, batch_format="pandas")
+    return bucketed_map_groups(ds, "user_id", probe)
 
 
 def q_events_asof_purchase(sf_dir: str):
@@ -1011,7 +1043,7 @@ def q_events_last_week(sf_dir: str):
 
 def q_events_running_sum(sf_dir: str):
     """Window function: per-user running sum ordered by (ts, event_id) —
-    groupby(user).map_groups over the sorted group (scaled-int cumsum)."""
+    coarse-bucketed groupby, per-user scaled-int cumsum in-task."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
@@ -1025,7 +1057,7 @@ def q_events_running_sum(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return bucketed_map_groups(ds, "user_id", running)
 
 
 def q_customers_no_urgent_orders(sf_dir: str):
