@@ -67,8 +67,11 @@ def brute_force_topk(
         )
 
     cands = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    merged = cands.sort(["sim", id_col], descending=[True, False]).limit(k)
-    t = pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    # candidates are ≤ #blocks × k rows: merge via per-block top-k + tiny
+    # Arrow-refs concat (global_topk) instead of an all-to-all sort shuffle
+    from ocr_processor_ray.functions.agg import global_topk
+
+    t = global_topk(cands, "sim", k, tiebreak=id_col, descending=True)
     return t.set_column(
         t.schema.get_field_index("sim"),
         "sim",
@@ -275,8 +278,9 @@ def lsh_topk(
         )
 
     cands = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
-    merged = cands.sort(["sim", id_col], descending=[True, False]).limit(k)
-    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+    from ocr_processor_ray.functions.agg import global_topk
+
+    return global_topk(cands, "sim", k, tiebreak=id_col, descending=True)
 
 
 def _kmeans_cosine(sample: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
