@@ -32,6 +32,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_processor_ray.queries_catalog import ORACLE_SQL
+    from ocr_processor_ray.queries_catalog import ORACLE_SQL, ensure_oracle_inputs
 
+    # the flagship oracle rows read a fixed deterministic corpus parquet by
+    # absolute path — materialize it before either comparison side runs
+    ensure_oracle_inputs()
     return dict(ORACLE_SQL)

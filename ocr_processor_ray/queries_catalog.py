@@ -1511,28 +1511,112 @@ def q_docs_stratified_sample(sf_dir: str):
 # ===================================================================
 
 
-def _flagship_corpus(sf_dir: str) -> list[str]:
-    """Deterministic synthetic transcript corpus, size keyed to the sf
-    directory name (bigger sf = bigger corpus); generated once, cached."""
+def _ensure_corpus(corpus: str, seed: int, n_convs: int) -> list[str]:
     import os
-    import tempfile
 
-    from ocr_processor_ray.sources.synth import SYNTH_VERSION, write_transcripts
+    from ocr_processor_ray.sources.synth import write_transcripts
 
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
-    n_convs = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 600}.get(sf_name, 150)
-    corpus = os.path.join(
-        tempfile.gettempdir(), f"opr_transcripts_v{SYNTH_VERSION}_{sf_name}_{n_convs}"
-    )
     marker = os.path.join(corpus, "_complete")
     if not os.path.exists(marker):
-        write_transcripts(corpus, seed=42, n_convs=n_convs)
+        write_transcripts(corpus, seed=seed, n_convs=n_convs)
         open(marker, "w").close()
     return [
         os.path.join(corpus, f)
         for f in sorted(os.listdir(corpus))
         if f.endswith(".parquet")
     ]
+
+
+def _flagship_corpus(sf_dir: str) -> list[str]:
+    """Deterministic synthetic transcript corpus, size keyed to the sf
+    directory name (bigger sf = bigger corpus); generated once, cached."""
+    import os
+    import tempfile
+
+    from ocr_processor_ray.sources.synth import SYNTH_VERSION
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n_convs = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 600}.get(sf_name, 150)
+    corpus = os.path.join(
+        tempfile.gettempdir(), f"opr_transcripts_v{SYNTH_VERSION}_{sf_name}_{n_convs}"
+    )
+    return _ensure_corpus(corpus, seed=42, n_convs=n_convs)
+
+
+def _oracle_corpus_dir() -> str:
+    """FIXED-size corpus whose absolute path is baked into the flagship
+    oracle SQL strings (DuckDB ``read_parquet``) — sf-independent, so one
+    static SQL string is valid at every scale the driver and tests run."""
+    import os
+    import tempfile
+
+    from ocr_processor_ray.sources.synth import SYNTH_VERSION
+
+    return os.path.join(
+        tempfile.gettempdir(), f"opr_oracle_corpus_v{SYNTH_VERSION}_150"
+    )
+
+
+def ensure_oracle_inputs() -> None:
+    """Generate every non-testdata input an ORACLE_SQL string references.
+    ``__ray_entry__.oracle_sql()`` calls this so the parquet exists no
+    matter which side (Ray query or DuckDB oracle) the driver runs first."""
+    _ensure_corpus(_oracle_corpus_dir(), seed=42, n_convs=150)
+
+
+def q_flagship_status_counts(sf_dir: str):
+    """Per-conversation (n_turns, n_failed, n_skipped, sum_bytes_in)
+    computed FROM THE FLAGSHIP PIPELINE OUTPUT (run_extract), oracle-checked
+    against extraction-invariant SQL over the raw corpus parquet: the
+    generator's four fixed corrupt templates (sources/synth.py
+    ``_make_corrupt``) determine ``parse_failure``, plain-sniffed
+    non-failed turns are ``skipped`` (extract/core.py O7 skip path), and
+    ``bytes_in`` is the payload's UTF-8 length. End-to-end this proves the
+    turn-preservation contract (O8: never drop or duplicate a turn) plus
+    the status taxonomy on a driver-visible oracle row."""
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+    from ocr_processor_ray.schema import STATUS_FAILED, STATUS_SKIPPED
+
+    ds = run_extract(_ensure_corpus(_oracle_corpus_dir(), 42, 150), ExtractConfig())
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "failed": pc.cast(pc.equal(b["status"], STATUS_FAILED), pa.int64()),
+                "skipped": pc.cast(pc.equal(b["status"], STATUS_SKIPPED), pa.int64()),
+                "bytes_in": b["bytes_in"],
+            }
+        )
+
+    flagged = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_agg(
+        flagged,
+        ["conv_id"],
+        [
+            ("bytes_in", "count", "n_turns"),
+            ("failed", "sum", "n_failed"),
+            ("skipped", "sum", "n_skipped"),
+            ("bytes_in", "sum", "sum_bytes_in"),
+        ],
+    )
+
+
+def q_flagship_payload_kinds(sf_dir: str):
+    """Payload-kind histogram of the flagship pipeline output; the oracle
+    re-derives the sniff (extract/sniff.py prefix rules) in SQL over the
+    raw corpus text."""
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+    ds = run_extract(_ensure_corpus(_oracle_corpus_dir(), 42, 150), ExtractConfig())
+    proj = ds.map_batches(
+        lambda b: b.select(["payload_kind"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return two_phase_agg(proj, ["payload_kind"], [("payload_kind", "count", "n_turns")])
 
 
 def q_flagship_extract(sf_dir: str):
@@ -1740,6 +1824,8 @@ QUERIES = {
     "docs_mixed_sample": q_docs_mixed_sample,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "flagship_status_counts": q_flagship_status_counts,
+    "flagship_payload_kinds": q_flagship_payload_kinds,
 }
 
 ORACLE_SQL = {
@@ -2173,3 +2259,40 @@ FROM c
         ) WHERE rank <= 5
     """,
 }
+
+# --- flagship oracle rows -------------------------------------------------
+# The flagship extraction itself is not SQL-expressible, but these
+# PROJECTIONS of its output are determined by extraction-invariant facts of
+# the raw corpus: the generator's four fixed corrupt templates
+# (sources/synth.py _make_corrupt) are exactly the parse_failure set, the
+# sniff is a prefix rule (extract/sniff.py), and bytes_in is the payload's
+# UTF-8 length. The SQL reads the FIXED corpus straight from parquet — the
+# only catalog SQL referencing a non-testdata path; ensure_oracle_inputs()
+# materializes it before either side runs.
+_CORPUS_GLOB = _oracle_corpus_dir() + "/*.parquet"
+_FAILURE_PRED = """(
+    contains(text, chr(0))
+    OR text = '%PDF-SIM 1.4' || chr(10) || 'R 1 abc 10 broken coords' || chr(10) || '%%EOF'
+    OR text = '%PDF-SIMx' || chr(10) || 'R 1 10 10 bad header version'
+    OR text = '<tool name="t">' || chr(10) || '<w p="1" b="10 20 30">threecoords</w><w p="1" b="'
+)"""
+ORACLE_SQL["flagship_status_counts"] = f"""
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(*) FILTER (WHERE {_FAILURE_PRED}) AS BIGINT) AS n_failed,
+           CAST(count(*) FILTER (WHERE NOT {_FAILURE_PRED}
+                AND NOT starts_with(text, '%PDF-')
+                AND NOT starts_with(text, '<')) AS BIGINT) AS n_skipped,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes_in
+    FROM read_parquet('{_CORPUS_GLOB}')
+    GROUP BY conv_id
+"""
+ORACLE_SQL["flagship_payload_kinds"] = f"""
+    SELECT CASE WHEN starts_with(text, '%PDF-') THEN 'pdfstream'
+                WHEN starts_with(text, '<tool') THEN 'toolmark'
+                WHEN starts_with(text, '<') THEN 'html'
+                ELSE 'plain' END AS payload_kind,
+           CAST(count(*) AS BIGINT) AS n_turns
+    FROM read_parquet('{_CORPUS_GLOB}')
+    GROUP BY 1
+"""
