@@ -7,8 +7,11 @@ media libraries are not in this container:
 
 * ``DecodeImage(fake=True)`` produces deterministic fake features
   derived from the payload bytes (so pipelines are testable end-to-end);
-* ``DecodeImage(fake=False)`` raises ``NotImplementedError`` at
-  ``__init__`` — the seam where PIL/ffmpeg would load, once per actor.
+* ``DecodeImage(fake=None)`` auto-detects: PIL when importable (loaded
+  once per actor in ``__init__`` — the reference's engine-binary seam,
+  ocr_combined.py:193-199), else the stub;
+* ``DecodeImage(fake=False)`` requires the real codec and raises
+  ``NotImplementedError`` at ``__init__`` when it is absent.
 
 Batch sizing: media payloads are MBs per row, so stages default to
 ``batch_size=16`` — batch × concurrency must fit worker heaps
@@ -36,21 +39,47 @@ MEDIA_SCHEMA = pa.schema(
 DEFAULT_MEDIA_BATCH_SIZE = 16
 
 
+def _try_pil():
+    """The optional-codec seam (the analog of the reference's external
+    engine binary, ocr_combined.py:193-199): PIL when importable, else
+    ``None`` — callers fall back to the deterministic stub."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 class DecodeImage:
     """Actor-pool decode stage (callable class = state loaded once).
 
-    Real mode would hold the codec context from ``__init__``; fake mode
-    derives (width, height, mean_luma, phash64) deterministically from
-    the payload bytes so downstream stages and tests exercise the same
-    schema and batch plumbing.
+    ``fake`` modes:
+
+    * ``None`` (auto) — use PIL if importable (loaded once per actor,
+      here in ``__init__``), else the deterministic stub;
+    * ``True``  — always the stub (bytes-derived fake features);
+    * ``False`` — require the real codec; raises in ``__init__`` when
+      PIL is absent.
+
+    Both paths emit the SAME schema: (dec_width, dec_height, mean_luma,
+    phash). Real-path rows whose bytes fail to decode get the sentinel
+    ``dec_width = dec_height = -1`` (never raises mid-batch — the O8
+    never-drop contract applies to media too).
     """
 
-    def __init__(self, fake: bool = True, payload_col: str = "payload"):
-        if not fake:
-            raise NotImplementedError(
-                "real image decode requires PIL/libvips, not present in this "
-                "environment; construct with fake=True for the deterministic stub"
-            )
+    def __init__(self, fake: bool | None = True, payload_col: str = "payload"):
+        self._pil = None
+        if fake is None:
+            self._pil = _try_pil()
+        elif not fake:
+            self._pil = _try_pil()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips, not present in this "
+                    "environment; construct with fake=True for the deterministic "
+                    "stub or fake=None to auto-fall-back"
+                )
         self.payload_col = payload_col
 
     @staticmethod
@@ -62,11 +91,27 @@ class DecodeImage:
         phash = int.from_bytes(digest[8:16], "big") - (1 << 63)
         return width, height, mean_luma, phash
 
+    def _real_features(self, data: bytes) -> tuple[int, int, float, int]:
+        import io
+
+        try:
+            img = self._pil.open(io.BytesIO(data))
+            width, height = img.size
+            gray = np.asarray(img.convert("L"), dtype=np.float64)
+            mean_luma = round(float(gray.mean()) / 255.0, 6) if gray.size else 0.0
+            small = np.asarray(img.convert("L").resize((8, 8)), dtype=np.float64)
+            bits = (small >= small.mean()).flatten()
+            phash = int(np.packbits(bits).view(">u8")[0]) - (1 << 63)
+            return width, height, mean_luma, phash
+        except Exception:
+            return -1, -1, 0.0, 0
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
+        features = self._real_features if self._pil is not None else self._fake_features
         w, h, luma, ph = [], [], [], []
         for data in payloads:
-            fw, fh, fl, fp = self._fake_features(data or b"")
+            fw, fh, fl, fp = features(data or b"")
             w.append(fw)
             h.append(fh)
             luma.append(fl)
@@ -112,20 +157,40 @@ class ResizeImage:
     ``__init__``; fake path derives the resized payload + dims
     deterministically from the source bytes and target box)."""
 
-    def __init__(self, target: tuple[int, int] = (224, 224), fake: bool = True,
+    def __init__(self, target: tuple[int, int] = (224, 224), fake: bool | None = True,
                  payload_col: str = "payload"):
-        if not fake:
-            raise NotImplementedError(
-                "real resize requires PIL/libvips, not present in this "
-                "environment; construct with fake=True for the deterministic stub"
-            )
+        self._pil = None
+        if fake is None:
+            self._pil = _try_pil()
+        elif not fake:
+            self._pil = _try_pil()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real resize requires PIL/libvips, not present in this "
+                    "environment; construct with fake=True for the deterministic "
+                    "stub or fake=None to auto-fall-back"
+                )
         self.target = target
         self.payload_col = payload_col
+
+    def _real_resize(self, data: bytes) -> bytes:
+        import io
+
+        try:
+            img = self._pil.open(io.BytesIO(data))
+            buf = io.BytesIO()
+            img.resize(self.target).save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            return b""  # undecodable payload → empty sentinel, never raises
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tw, th = self.target
         out = []
         for data in batch[self.payload_col].to_pylist():
+            if self._pil is not None:
+                out.append(self._real_resize(data or b""))
+                continue
             out.append(
                 hashlib.blake2b(
                     (data or b"") + f"{tw}x{th}".encode(), digest_size=64

@@ -481,10 +481,60 @@ class TestMultimodal:
         pd.testing.assert_frame_equal(out, out2)
 
     def test_real_decode_is_explicit_stub(self):
-        from ocr_processor_ray.functions.multimodal import DecodeImage
+        from ocr_processor_ray.functions.multimodal import DecodeImage, _try_pil
 
+        if _try_pil() is not None:
+            pytest.skip("PIL importable: fake=False is the real path here")
         with pytest.raises(NotImplementedError):
             DecodeImage(fake=False)
+
+    def test_auto_mode_matches_stub_without_pil(self):
+        """fake=None auto-falls-back to the deterministic stub when no
+        codec is importable — byte-identical to fake=True."""
+        from ocr_processor_ray.functions.multimodal import (
+            DecodeImage,
+            _try_pil,
+            synth_media_table,
+        )
+
+        if _try_pil() is not None:
+            pytest.skip("PIL importable: auto mode resolves to the real path")
+        t = synth_media_table(n=8)
+        out_auto = DecodeImage(fake=None)(t)
+        out_stub = DecodeImage(fake=True)(t)
+        assert out_auto.equals(out_stub)
+
+    def test_real_decode_with_pil(self):
+        """Real-codec path: runs when PIL is importable, skips otherwise
+        (VERDICT r2 item 5 — the reference's engine-binary seam)."""
+        from ocr_processor_ray.functions.multimodal import DecodeImage, ResizeImage, _try_pil
+
+        pil = _try_pil()
+        if pil is None:
+            pytest.skip("PIL not installed in this environment")
+        import io
+
+        import numpy as np
+
+        img = pil.new("L", (40, 30), color=128)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        good, bad = buf.getvalue(), b"not an image"
+        t = pa.table(
+            {
+                "media_id": pa.array([0, 1], pa.int64()),
+                "payload": pa.array([good, bad], pa.binary()),
+            }
+        )
+        out = DecodeImage(fake=False)(t)
+        assert out["dec_width"].to_pylist() == [40, -1]
+        assert out["dec_height"].to_pylist() == [30, -1]
+        assert abs(out["mean_luma"].to_pylist()[0] - 128 / 255) < 1e-3
+
+        rs = ResizeImage(target=(8, 8), fake=False)(t)
+        resized = pil.open(io.BytesIO(rs["payload"].to_pylist()[0]))
+        assert resized.size == (8, 8)
+        assert rs["payload"].to_pylist()[1] == b""  # undecodable → sentinel
 
     def test_resize_and_frame_sample(self):
         import ray.data as rd
@@ -508,9 +558,13 @@ class TestMultimodal:
         assert set(fdf["frame_idx"]) == {0, 1, 2, 3}
         assert fdf.groupby("media_id")["ts_ms"].is_monotonic_increasing.all()
 
-        for cls in (ResizeImage, FrameSample):
+        from ocr_processor_ray.functions.multimodal import _try_pil
+
+        with pytest.raises(NotImplementedError):
+            FrameSample(fake=False)
+        if _try_pil() is None:
             with pytest.raises(NotImplementedError):
-                cls(fake=False)
+                ResizeImage(fake=False)
 
     def test_audio_chunks_cover_duration_with_overlap(self):
         import ray.data as rd
