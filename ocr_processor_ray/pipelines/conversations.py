@@ -221,3 +221,51 @@ def oracle_assemble(extracted_table: pa.Table) -> pa.Table:
             "doc_chars": pa.array([len(d) for d in docs], pa.int64()),
         }
     )
+
+
+def near_dedup_conversations(
+    paths: list[str],
+    cfg: ExtractConfig | None = None,
+    threshold: float = 0.7,
+) -> Dataset:
+    """Conversation-level near-dedup — the unit a trainer actually dedups
+    is the ASSEMBLED conversation document, not the raw turn. Composes
+    raw transcripts → per-turn extraction → salted assembly →
+    MinHash-LSH near-dup filter (survivor = minimum conv number).
+
+    Returns kept ``(conv_id, doc_chars)``. Every stage is the existing
+    scale-shaped machinery: the only new work is the int64 id the
+    pair/CC plumbing shuffles (parsed from the ``conv-NNNNNN`` id, so
+    8-byte rows move instead of strings).
+    """
+    from ocr_processor_ray.functions.dedup import near_dedup_filter
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+    cfg = cfg or ExtractConfig(salt_turn_threshold=256, read_num_blocks=16)
+    docs = assemble_conversations(run_extract(paths, cfg), cfg)
+
+    def project(b: pa.Table) -> pa.Table:
+        conv_int = pc.cast(
+            pc.utf8_slice_codeunits(b["conv_id"], 5, 2**31), pa.int64()
+        )
+        return pa.table({"conv_int": conv_int, "doc": b["doc"]})
+
+    ids_docs = docs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    kept = near_dedup_filter(
+        ids_docs, id_col="conv_int", text_col="doc", threshold=threshold
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        conv_id = pc.binary_join_element_wise(
+            "conv-",
+            pc.utf8_lpad(pc.cast(b["conv_int"], pa.string()), 6, "0"),
+            "",
+        )
+        return pa.table(
+            {
+                "conv_id": conv_id,
+                "doc_chars": pc.cast(pc.utf8_length(b["doc"]), pa.int64()),
+            }
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1669,6 +1669,17 @@ def q_training_corpus(sf_dir: str):
     return exact_dedup_groups(gated, id_col="conv_id", text_col="doc")
 
 
+def q_conversations_near_dedup(sf_dir: str):
+    """Near-dedup at the CONVERSATION level (the unit a trainer dedups):
+    extraction → salted assembly → MinHash-LSH pairs → connected
+    components → anti-join survivors. Rows-only driver check; the
+    planted-cross-conversation-duplicate recovery is pytest-verified
+    (tests/test_conversations.py)."""
+    from ocr_processor_ray.pipelines.conversations import near_dedup_conversations
+
+    return near_dedup_conversations(_flagship_corpus(sf_dir))
+
+
 def q_flagship_extract_visual(sf_dir: str):
     """Visual mode (O3 'visual'): word-level spans added — returned as
     per-turn span counts (deterministic ints; the span structs themselves
@@ -1784,6 +1795,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_audio_chunks": q_media_audio_chunks,
     "training_corpus": q_training_corpus,
+    "conversations_near_dedup": q_conversations_near_dedup,
     "flagship_extract_visual": q_flagship_extract_visual,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_security_scan": q_doc_security_scan,

@@ -61,3 +61,57 @@ class TestAssembly:
         b = self._run(transcripts_small, threshold=10_000)
         for col in a.column_names:
             assert a[col].to_pylist() == b[col].to_pylist(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConversationNearDedup:
+    def test_planted_cross_conversation_duplicate_is_dropped(self, tmp_path):
+        """Clone one conversation under a new (higher) id, minus its last
+        turn → a NEAR duplicate of the original. The pipeline must drop
+        the clone, keep the original, and pass every other conversation
+        through untouched."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ocr_processor_ray.pipelines.conversations import near_dedup_conversations
+        from ocr_processor_ray.sources.synth import make_transcripts
+
+        t = make_transcripts(seed=23, n_convs=10, skew_every=0)
+        # pick the longest conversation so dropping one turn stays >τ
+        counts = t.group_by("conv_id").aggregate([("conv_id", "count")])
+        src = counts.sort_by([("conv_id_count", "descending")])["conv_id"][0].as_py()
+        orig = t.filter(pc.equal(t["conv_id"], src))
+        clone = orig.slice(0, orig.num_rows - 1).set_column(
+            orig.schema.get_field_index("conv_id"),
+            "conv_id",
+            pa.array(["conv-900001"] * (orig.num_rows - 1), pa.string()),
+        )
+        corpus = tmp_path / "planted"
+        corpus.mkdir()
+        pq.write_table(pa.concat_tables([t, clone]), str(corpus / "t.parquet"))
+
+        kept = near_dedup_conversations([str(corpus / "t.parquet")])
+        kept_ids = set(kept.to_pandas()["conv_id"])
+        assert "conv-900001" not in kept_ids, "planted near-duplicate survived"
+        assert src in kept_ids, "original (minimum id) must be the survivor"
+        expected = set(pc.unique(t["conv_id"]).to_pylist())
+        assert kept_ids == expected
+
+    def test_deterministic(self, transcripts_small):
+        import os
+
+        from ocr_processor_ray.pipelines.conversations import near_dedup_conversations
+
+        paths = [
+            os.path.join(transcripts_small, f)
+            for f in sorted(os.listdir(transcripts_small))
+            if f.endswith(".parquet")
+        ]
+        a = near_dedup_conversations(paths).to_pandas().sort_values(
+            "conv_id", ignore_index=True
+        )
+        b = near_dedup_conversations(paths).to_pandas().sort_values(
+            "conv_id", ignore_index=True
+        )
+        assert a.equals(b)
+        assert len(a) > 0
