@@ -505,6 +505,80 @@ def q_orders_by_status_priority(sf_dir: str):
     return _descale(agg, "sum_price", 100)
 
 
+def q_orders_mktsegment_bucketed_store(sf_dir: str):
+    """Write-once / join-many: persist orders and customer CO-BUCKETED by
+    customer key (state/bucketed_store), then answer the join with ZERO
+    shuffle — B independent per-bucket Acero joins. The write-side
+    shuffle is paid once (skipped on re-run via the _complete marker);
+    every subsequent join of these tables is shuffle-free. Oracle = the
+    plain join SQL, proving layout-then-join ≡ direct join."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ocr_processor_ray.state.bucketed_store import (
+        bucketed_store_join,
+        write_bucketed,
+    )
+
+    ofile, cfile = f"{sf_dir}/orders.parquet", f"{sf_dir}/customer.parquet"
+    # store identity = path + input fingerprint, so regenerated testdata
+    # (same path, new content) never silently reuses a stale layout
+    fp = hashlib.md5(
+        "|".join(
+            str(x)
+            for x in (
+                os.path.abspath(sf_dir),
+                os.path.getsize(ofile),
+                int(os.path.getmtime(ofile)),
+                os.path.getsize(cfile),
+                int(os.path.getmtime(cfile)),
+            )
+        ).encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"opr_bstore_{fp}")
+
+    def ensure(store_dir: str, build) -> str:
+        marker = os.path.join(store_dir, "_complete")
+        if not os.path.exists(marker):
+            build(store_dir)
+            open(marker, "w").close()
+        return store_dir
+
+    def build_orders(d: str) -> None:
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "price_c": pc.cast(
+                        pc.round(pc.multiply(b["o_totalprice"], 100)), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        write_bucketed(ds, d, key="o_custkey", num_buckets=16)
+
+    def build_customer(d: str) -> None:
+        write_bucketed(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            d,
+            key="c_custkey",
+            num_buckets=16,
+        )
+
+    odir = ensure(base + "_orders", build_orders)
+    cdir = ensure(base + "_customer", build_customer)
+    joined = bucketed_store_join(odir, cdir)
+    agg = two_phase_agg(
+        joined,
+        ["c_mktsegment"],
+        [("price_c", "count", "n_orders"), ("price_c", "sum", "sum_price")],
+    )
+    return _descale(agg, "sum_price", 100)
+
+
 def q_parts_top_retail(sf_dir: str):
     """Global top-10 by retail price — per-block local top-k + tiny merge
     (global_topk), not a full sort shuffle."""
@@ -1786,6 +1860,7 @@ QUERIES = {
     "top_orders_revenue": q_top_orders_revenue,
     "revenue_by_nation": q_revenue_by_nation,
     "orders_by_status_priority": q_orders_by_status_priority,
+    "orders_mktsegment_bucketed_store": q_orders_mktsegment_bucketed_store,
     "parts_top_retail": q_parts_top_retail,
     "supplier_acctbal_by_nation": q_supplier_acctbal_by_nation,
     "flagship_extract": q_flagship_extract,
@@ -1972,6 +2047,12 @@ FROM c
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
         FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    "orders_mktsegment_bucketed_store": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     "parts_top_retail": """
         SELECT p_partkey, p_name, p_brand, p_retailprice
