@@ -67,6 +67,9 @@ def run_checkpointed(
     ``input_format`` ∈ {parquet, json, csv} — non-Parquet corpora route
     through ``sources.readers.read_transcripts_any``.
     """
+    import time
+
+    started_at = time.time()
     cfg = cfg or ExtractConfig()
     num_parts = cfg.num_output_partitions
     done = completed_partitions(out_dir)
@@ -123,11 +126,18 @@ def run_checkpointed(
                 cats[cat] = cats.get(cat, 0) + n
     total["_total"] = grand
 
+    completed_at = time.time()
     summary = {
         "partitions_written": sorted(int(r["part"]) for r in written),
         "partitions_skipped": sorted(done),
         "num_partitions": num_parts,
         "counters": total,
+        # job timing (the reference's OCRJob started_at / completed_at /
+        # processing_time, database_manager.py:96-101) — consumed by the
+        # windowed performance report
+        "started_at": started_at,
+        "completed_at": completed_at,
+        "processing_time": completed_at - started_at,
     }
     with open(os.path.join(out_dir, "_job_summary.json"), "w") as f:
         json.dump(summary, f, sort_keys=True, indent=1)

@@ -374,3 +374,57 @@ class TestBucketedStore:
         write_bucketed(cust, b, "c_custkey", 8)
         with pytest.raises(ValueError):
             bucketed_store_join(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPerformanceReport:
+    """Windowed 7-day report over multiple checkpointed runs (the
+    reference's get_performance_report + job_summary view)."""
+
+    def _runs(self, transcripts_small, tmp_path):
+        import json
+
+        from ocr_processor_ray.state.checkpoint import run_checkpointed
+
+        root = tmp_path / "runs"
+        for i, n in enumerate((4, 8)):
+            run_checkpointed(
+                transcripts_small,
+                str(root / f"job{i}"),
+                ExtractConfig(num_output_partitions=n),
+            )
+        # age job0 out of the window by rewriting its completed_at
+        sp = root / "job0" / "_job_summary.json"
+        s = json.loads(sp.read_text())
+        s["completed_at"] -= 30 * 86400
+        sp.write_text(json.dumps(s))
+        return str(root)
+
+    def test_window_filters_and_metrics(self, transcripts_small, tmp_path):
+        from ocr_processor_ray.state.report import job_summary_rows, performance_report
+
+        root = self._runs(transcripts_small, tmp_path)
+        rows = job_summary_rows(root)
+        assert len(rows) == 2
+        for r in rows:
+            # recorded counters must agree with manifest-derived actuals
+            assert r["total_turns"] == r["actual_turns"] > 0
+            assert r["failed_turns"] == r["actual_failed"] > 0
+
+        rep = performance_report(root, days=7)
+        assert rep["total_jobs"] == 1  # job0 aged out of the window
+        in_window = [r for r in rows if r["job_dir"].endswith("job1")][0]
+        assert rep["total_turns"] == in_window["total_turns"]
+        assert rep["failed_turns"] == in_window["failed_turns"]
+        assert (
+            rep["successful_turns"] == rep["total_turns"] - rep["failed_turns"]
+        )
+        assert 0 < rep["success_rate"] < 100
+        assert rep["avg_processing_time"] > 0
+
+        wide = performance_report(root, days=90)
+        assert wide["total_jobs"] == 2
+        assert wide["total_turns"] == sum(r["total_turns"] for r in rows)
+
+        empty = performance_report(root, days=7, now=4.0e12)
+        assert "message" in empty
