@@ -210,11 +210,17 @@ def q_corpus_near_dedup(sf_dir: str):
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
+    """One query vector by id — a parquet predicate-pushdown point read
+    (only row groups containing vec_id=0 are decoded), never a full
+    sf-scaled table on the driver."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t["vec_id"].to_pylist().index(0)
-    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float32)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float32)
 
 
 def q_ann_topk(sf_dir: str):
@@ -643,38 +649,75 @@ def q_events_sliding_1h(sf_dir: str):
 
 
 def q_building_segment_revenue(sf_dir: str):
-    """Semi-join: lineitems of BUILDING-segment customers' orders —
-    broadcast the qualifying orderkey set (J4-style key-set broadcast)
-    and filter inside map_batches; no shuffle."""
-    import duckdb as _d  # noqa: F401  (documentation only)
-    import pyarrow.parquet as pq
+    """Semi-join: lineitems of BUILDING-segment customers' orders.
 
-    import ray
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    keep = orders.filter(
-        pc.is_in(orders["o_custkey"], value_set=cust["c_custkey"].combine_chunks())
-    )["o_orderkey"]
-    keys_ref = ray.put(keep.combine_chunks())
+    All three tables are sf-scaled, so neither side is ever read on the
+    driver or broadcast whole (VERDICT r2 item 3 pattern): lineitem
+    revenue is pre-aggregated to one row per order BEFORE any exchange,
+    orders join the filtered customers bucketed, and the qualifying
+    orderkeys join the per-order partials bucketed. Exchange volume is
+    #orders rows twice — never a lineitem row, never a key-set on the
+    driver. The final fold is two scalars."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))["c_custkey"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    qualifying = bucketed_join(
+        orders,
+        cust,
+        on="o_custkey",
+        num_buckets=16,
+        l_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        r_schema={"o_custkey": pa.int64()},
+    ).map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def filt(b: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        b = b.filter(pc.is_in(b["l_orderkey"], value_set=keys))
-        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
-        return pa.table(
-            {"rev_c": pc.cast(pc.round(pc.multiply(rev, 10000)), pa.int64())}
-        )
-
-    filtered = li.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
-    total = filtered.sum("rev_c")
-    n = filtered.count()
+    li_rev = li.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_c": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.multiply(
+                                b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])
+                            ),
+                            10000,
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li_agg = two_phase_agg(
+        li_rev,
+        ["l_orderkey"],
+        [("rev_c", "sum", "rev_c"), ("rev_c", "count", "n_li")],
+    )
+    joined = bucketed_join(
+        li_agg,
+        qualifying,
+        on="l_orderkey",
+        num_buckets=16,
+        l_schema={"l_orderkey": pa.int64(), "rev_c": pa.int64(), "n_li": pa.int64()},
+        r_schema={"l_orderkey": pa.int64()},
+    )
+    total = joined.sum("rev_c")
+    n = joined.sum("n_li")
     return pa.table(
         {
-            "n_lineitems": pa.array([n], pa.int64()),
+            "n_lineitems": pa.array([n or 0], pa.int64()),
             "revenue": pa.array([(total or 0) / 10000.0], pa.float64()),
         }
     )
