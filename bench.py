@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "embedding_pairs_exact",
     "word_postings",
     "docs_pack_sequences",
+    "orders_mktsegment_bucketed_store",
+    "flagship_status_counts",
     # -- heavier: one or more shuffles / joins --
     "top_orders_revenue",
     "revenue_by_nation",
@@ -78,6 +80,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "embedding_clusters",
     "training_corpus",
+    "conversations_near_dedup",
 ]
 
 

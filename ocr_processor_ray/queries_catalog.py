@@ -666,17 +666,18 @@ def q_building_segment_revenue(sf_dir: str):
         zero_copy_batch=True,
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    qualifying = bucketed_join(
-        orders,
-        cust,
-        on="o_custkey",
-        num_buckets=16,
-        l_schema={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
-        r_schema={"o_custkey": pa.int64()},
-    ).map_batches(
-        lambda b: pa.table({"l_orderkey": b["o_orderkey"]}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # materialize the narrow keyset (one int64 per qualifying order,
+    # distributed in the object store — never the driver) so the two
+    # native join operators run sequentially: two concurrent hash-join
+    # actor pools deadlock when cluster CPUs < their combined reservation
+    qualifying = (
+        hash_join(orders, cust, on="o_custkey", num_partitions=16)
+        .map_batches(
+            lambda b: pa.table({"l_orderkey": b["o_orderkey"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
     )
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -705,14 +706,9 @@ def q_building_segment_revenue(sf_dir: str):
         ["l_orderkey"],
         [("rev_c", "sum", "rev_c"), ("rev_c", "count", "n_li")],
     )
-    joined = bucketed_join(
-        li_agg,
-        qualifying,
-        on="l_orderkey",
-        num_buckets=16,
-        l_schema={"l_orderkey": pa.int64(), "rev_c": pa.int64(), "n_li": pa.int64()},
-        r_schema={"l_orderkey": pa.int64()},
-    )
+    # materialize ONCE before the two scalar folds — each Dataset
+    # aggregate otherwise re-executes the whole lazy join pipeline
+    joined = hash_join(li_agg, qualifying, on="l_orderkey", num_partitions=16).materialize()
     total = joined.sum("rev_c")
     n = joined.sum("n_li")
     return pa.table(
