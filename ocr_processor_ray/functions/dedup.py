@@ -86,9 +86,15 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(n_perm: int, seed: int = 12345) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) for universal hashing h_i(x) = (a_i*x + b_i) mod p."""
+    """Deterministic (a, b) for the multiply-shift family
+    h_i(x) = (a_i*x + b_i) mod 2^64 with a_i odd — a full-period affine
+    permutation of Z_2^64. Chosen over the classic (a*x+b) mod
+    (2^61-1) family because numpy's uint64 modulo has no SIMD path:
+    the Mersenne-mod inner loop measured ~150x slower than plain
+    wrapping multiply+add on the same shingle volume."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a |= np.uint64(1)
     b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
@@ -163,11 +169,40 @@ def batch_minhash_signatures(texts: list, k: int = 3) -> np.ndarray:
             segs.append(global_acc[s : s + c - k + 1])
             sh_counts[d] = c - k + 1
     sh = np.concatenate(segs)
-    # (N_PERM, total_shingles) universal hashes, segmented min per doc
-    vals = (_PERM_A[:, None] * (sh[None, :] % _MERSENNE) + _PERM_B[:, None]) % _MERSENNE
     offsets = np.concatenate([[0], np.cumsum(sh_counts)[:-1]])
-    sigs = np.minimum.reduceat(vals, offsets, axis=1)
-    return sigs.T.astype(np.uint64)
+    return _segmented_perm_min(sh, offsets)
+
+
+_PERM_CHUNK_SHINGLES = 1 << 18  # caps the (N_PERM, chunk) work buffer ≈ 128 MB
+
+
+def _segmented_perm_min(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_docs, N_PERM) per-doc minima of the permuted shingle hashes.
+
+    Chunked on document boundaries so the (N_PERM, chunk) buffer stays
+    ~128 MB regardless of batch size or document length (a worker
+    processing 50 book-length docs would otherwise allocate GBs), and
+    the buffer is reused across chunks. Bit-identical to the per-doc
+    ``minhash_signature`` path (same wrapping uint64 multiply+add)."""
+    n_docs = len(offsets)
+    out = np.empty((n_docs, N_PERM), dtype=np.uint64)
+    ends = np.append(offsets[1:], len(sh)).astype(np.int64)
+    buf: np.ndarray | None = None
+    d = 0
+    while d < n_docs:
+        e = d + 1  # a doc longer than the chunk still goes alone
+        while e < n_docs and ends[e] - offsets[d] <= _PERM_CHUNK_SHINGLES:
+            e += 1
+        lo, hi = int(offsets[d]), int(ends[e - 1])
+        seg = sh[lo:hi]
+        if buf is None or buf.shape[1] < len(seg):
+            buf = np.empty((N_PERM, len(seg)), dtype=np.uint64)
+        view = buf[:, : len(seg)]
+        np.multiply(_PERM_A[:, None], seg[None, :], out=view)
+        view += _PERM_B[:, None]
+        out[d:e] = np.minimum.reduceat(view, offsets[d:e] - lo, axis=1).T
+        d = e
+    return out
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
@@ -175,8 +210,8 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     sh = shingle_hashes(text, k)
     if sh.size == 0:
         return np.zeros(N_PERM, dtype=np.uint64)
-    # (n_perm, n_shingles) universal hashes, min over shingles
-    vals = (_PERM_A[:, None] * (sh[None, :] % _MERSENNE) + _PERM_B[:, None]) % _MERSENNE
+    # (n_perm, n_shingles) multiply-shift hashes, min over shingles
+    vals = _PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]
     return vals.min(axis=1).astype(np.uint64)
 
 
@@ -581,6 +616,12 @@ def near_dedup_filter(
     final filter is a bucketed ANTI join of the corpus against the
     loser set (nodes whose component label isn't their own id) — both
     sides shuffle once, keyed by id hash; nothing lands on the driver.
+
+    NOTE: ``ds`` is consumed three times (bands, verify text-attach,
+    anti-join). When it is a plain column-pruned ``read_parquet`` this is
+    the cheap streaming shape; when it is a computed pipeline, call
+    ``.materialize()`` on it first so each consumer reads pinned blocks
+    instead of re-executing the upstream (see near_dedup_conversations).
     Reference analog: ocr_combined.py:51-56 skips only EXACT copies —
     near-dedup is the corpus-scale generalization.
     """
