@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "embedding_pairs_exact",
     "word_postings",
     "docs_pack_sequences",
+    "docs_decontaminate",
+    "dedup_keep_best",
+    "docs_source_cap",
     "orders_mktsegment_bucketed_store",
     "flagship_status_counts",
     # -- heavier: one or more shuffles / joins --
@@ -81,6 +84,7 @@ BENCH_QUERIES = [
     "embedding_clusters",
     "training_corpus",
     "conversations_near_dedup",
+    "conversation_line_dedup",
 ]
 
 

@@ -77,6 +77,68 @@ def exact_dedup_groups(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+_KEEP_BEST_ID_BITS = 41  # doc_id < 2^41, score < 2^22 → packed key fits int64
+
+
+def exact_dedup_keep_best(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "n_chars",
+) -> Dataset:
+    """Exact dedup keeping the BEST duplicate, not the first: per content
+    hash, the survivor is the row with max ``score_col`` (ties → min
+    ``id_col``) — what a trainer wants when duplicates differ in
+    upstream cleaning quality.
+
+    Scale shape: argmax without shipping groups — score and id pack into
+    one int64 (``score * 2^41 - (id+1)``), so a plain two-phase
+    ``max`` aggregate finds each group's winner and the winner's fields
+    decode arithmetically afterwards. Requires ``0 <= id < 2^41`` and
+    ``0 <= score < 2^22`` (4M); violations raise rather than silently
+    mis-rank. → (h, doc_id, score, n) per distinct hash.
+    """
+    from ocr_processor_ray.functions.agg import two_phase_agg
+
+    def pack(t: pa.Table) -> pa.Table:
+        t = add_md5(t, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (
+            ids.min() < 0
+            or ids.max() >= 1 << _KEEP_BEST_ID_BITS
+            or score.min() < 0
+            or score.max() >= 1 << (63 - _KEEP_BEST_ID_BITS)
+        ):
+            raise ValueError(
+                f"exact_dedup_keep_best packed-key range: need 0 <= {id_col} < 2^41 "
+                f"and 0 <= {score_col} < 2^22"
+            )
+        key = score * (1 << _KEEP_BEST_ID_BITS) - (ids + 1)
+        return pa.table({"h": t["h"], "_key": pa.array(key, pa.int64())})
+
+    packed = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    best = two_phase_agg(
+        packed, ["h"], [("_key", "max", "_key"), ("_key", "count", "n")]
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        key = b["_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = (key >> _KEEP_BEST_ID_BITS) + 1
+        ids = score * (1 << _KEEP_BEST_ID_BITS) - key - 1
+        # score*2^41 - (id+1) with id+1 in (0, 2^41]: floor(key/2^41) = score-1
+        return pa.table(
+            {
+                "h": b["h"],
+                id_col: pa.array(ids, pa.int64()),
+                score_col: pa.array(score, pa.int64()),
+                "n": b["n"],
+            }
+        )
+
+    return best.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- minhash
 
 N_PERM = 64
@@ -646,3 +708,131 @@ def near_dedup_filter(
         r_schema={id_col: pa.int64()},
     )
     return kept
+
+
+# ------------------------------------------------------- line-level dedup
+
+_LINE_POS_BITS = 20  # < 2^20 lines per doc; id < 2^43 → packed fits int64
+
+
+def dedup_lines(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> Dataset:
+    """Corpus-level duplicate-LINE removal (RefinedWeb/Gopher-style
+    boilerplate stripping): every line that occurs more than once in the
+    whole corpus keeps only its first occurrence — minimum (doc, position)
+    corpus-wide — and each document is reassembled from its surviving
+    lines. → (id_col, clean text under ``text_col``, n_lines, n_dropped).
+
+    Scale shape (text crosses the wire exactly once):
+      1. explode — vectorized ``split_pattern`` → (line_hash, packed
+         id·2^20+pos) metadata rows, 16 B/line; the line TEXT stays put.
+      2. two-phase min/count over line_hash → winner per distinct line;
+         only hashes seen ≥2× survive to the join (unique lines — the
+         vast majority — never shuffle again).
+      3. bucketed inner join explode ⋈ dup-winners on line_hash; rows
+         whose packed ≠ the winner become the drop set (id, pos).
+      4. one tagged-union bucketed shuffle co-locates each doc with its
+         drop positions; reassembly splits/filters/joins in-task.
+    Line identity is the 64-bit ``stable_hash_array`` value (same family
+    as every bucketing decision here); at ~10^10 corpus lines the
+    birthday collision odds are ~0.3% for ONE collision anywhere.
+    """
+    from ocr_processor_ray.functions.agg import two_phase_agg
+    from ocr_processor_ray.functions.hashing import stable_hash_array
+    from ocr_processor_ray.functions.relational import bucketed_join, bucketed_map_groups
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << (63 - _LINE_POS_BITS)):
+            raise ValueError(f"dedup_lines: need 0 <= {id_col} < 2^43")
+        lines_list = pc.split_pattern(b[text_col], pattern=sep).combine_chunks()
+        if isinstance(lines_list, pa.ChunkedArray):
+            lines_list = lines_list.combine_chunks()
+        counts = pc.list_value_length(lines_list).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lines_list.flatten().to_pylist()
+        if (counts >= 1 << _LINE_POS_BITS).any():
+            raise ValueError("dedup_lines: document with >= 2^20 lines")
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        packed = np.repeat(ids, counts) * (1 << _LINE_POS_BITS) + pos
+        lh = stable_hash_array(flat).astype(np.int64)  # wraps, value-determined
+        return pa.table(
+            {
+                "line_hash": pa.array(lh, pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    winners = two_phase_agg(
+        exploded, ["line_hash"], [("packed", "min", "win"), ("packed", "count", "n")]
+    )
+    dup_winners = winners.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)).select(["line_hash", "win"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    matched = bucketed_join(
+        exploded,
+        dup_winners,
+        on="line_hash",
+        how="inner",
+        l_schema={"line_hash": pa.int64(), "packed": pa.int64()},
+        r_schema={"line_hash": pa.int64(), "win": pa.int64()},
+    )
+    drops = matched.map_batches(
+        lambda b: pa.table(
+            {"packed": b.filter(pc.not_equal(b["packed"], b["win"]))["packed"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # tagged union: doc rows carry text (pos = -1), drop rows carry a position
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "_txt": b[text_col],
+                "_pos": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def tag_drops(b: pa.Table) -> pa.Table:
+        packed = b["packed"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(packed >> _LINE_POS_BITS, pa.int64()),
+                "_txt": pa.nulls(b.num_rows, pa.string()),
+                "_pos": pa.array(packed & ((1 << _LINE_POS_BITS) - 1), pa.int64()),
+            }
+        )
+
+    union = ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(drops.map_batches(tag_drops, batch_format="pyarrow", zero_copy_batch=True))
+
+    def reassemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        doc_rows = g[g["_pos"] < 0]
+        assert len(doc_rows) == 1, "dedup_lines: duplicate doc id"
+        text = doc_rows["_txt"].iloc[0]
+        drop_pos = set(g.loc[g["_pos"] >= 0, "_pos"].astype(int))
+        lines = text.split(sep)
+        kept = [l for i, l in enumerate(lines) if i not in drop_pos]
+        return pd.DataFrame(
+            {
+                id_col: doc_rows[id_col].iloc[:1].astype("int64"),
+                text_col: [sep.join(kept)],
+                "n_lines": pd.array([len(lines)], dtype="int64"),
+                "n_dropped": pd.array([len(drop_pos)], dtype="int64"),
+            }
+        )
+
+    return bucketed_map_groups(union, id_col, reassemble)

@@ -210,3 +210,42 @@ def pack_sequences(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(pack, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- decontamination
+
+
+def flag_contaminated(
+    ds,
+    snippets: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "contaminated",
+):
+    """Benchmark decontamination: flag rows whose text contains any of
+    the given benchmark passages (exact substring — the conservative
+    n-gram-overlap special case used to keep eval sets out of training
+    corpora). → (id_col, out bool) per row.
+
+    Scale shape: the snippet set is a FIXED benchmark — small by
+    definition — shipped to workers ONCE via ``ray.put`` and read from
+    the local object store per task (never re-serialized per batch);
+    the scan is one vectorized ``match_substring`` kernel pass per
+    snippet per batch. Cost is O(snippets × corpus bytes); for snippet
+    sets beyond a few thousand, swap the inner loop for a compiled
+    alternation (same semantics, one pass).
+    """
+    import ray
+
+    if any(not s for s in snippets):
+        raise ValueError("empty snippet matches everything — refuse")
+    snip_ref = ray.put(list(snippets))
+
+    def scan(b: pa.Table) -> pa.Table:
+        snips = ray.get(snip_ref)
+        mask = pa.array(np.zeros(b.num_rows, dtype=bool))
+        for s in snips:
+            mask = pc.or_(mask, pc.match_substring(b[text_col], pattern=s))
+        return pa.table({id_col: b[id_col], out: mask})
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

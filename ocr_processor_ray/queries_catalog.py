@@ -2428,3 +2428,157 @@ ORACLE_SQL["flagship_payload_kinds"] = f"""
     FROM read_parquet('{_CORPUS_GLOB}')
     GROUP BY 1
 """
+
+
+# ===================================================================
+# round 3: decontamination, quality-ranked dedup, source caps,
+# corpus-level line dedup
+# ===================================================================
+
+_DECON_MOD = 97          # every 97th doc donates a benchmark snippet …
+_DECON_MAX_ID = 97 * 64  # … bounded to the first 64 donors at ANY sf
+_DECON_MIN_LEN = 129     # donor must cover the full snippet window
+_DECON_OFF, _DECON_LEN = 49, 80
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination over the documents table: flag docs
+    containing any passage of a (synthetic, deterministic) benchmark
+    set. The snippet set is derived from a CONSTANT-bounded donor list
+    (≤64 docs at every sf — a stand-in for the externally-supplied eval
+    set a real pipeline reads from a file), broadcast once, scanned
+    vectorized per batch (functions/text.flag_contaminated)."""
+    from ocr_processor_ray.functions.text import flag_contaminated
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def donors(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pc.and_(
+            pa.array((ids % _DECON_MOD == 0) & (ids < _DECON_MAX_ID)),
+            pc.greater_equal(pc.utf8_length(b["text"]), _DECON_MIN_LEN),
+        )
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "snippet": pc.utf8_slice_codeunits(
+                    t["text"], _DECON_OFF, _DECON_OFF + _DECON_LEN
+                ),
+            }
+        )
+
+    # ≤64 rows by construction — a bounded take, not an sf-scaled one
+    snippets = []
+    for b in ds.map_batches(
+        donors, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=256, batch_format="pyarrow"):
+        snippets.extend(b["snippet"].to_pylist())
+    return flag_contaminated(ds, sorted(snippets))
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the highest-quality duplicate (max n_chars,
+    ties → min doc_id) via the packed-key argmax aggregate."""
+    from ocr_processor_ray.functions.dedup import exact_dedup_keep_best
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return exact_dedup_keep_best(ds, score_col="n_chars")
+
+
+def q_docs_source_cap(sf_dir: str):
+    """Per-source quota cap (crawl-style: keep the first 20 docs of each
+    source) — grouped_topk ascending, no whole-group shuffle."""
+    from ocr_processor_ray.functions.agg import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id"])
+    capped = grouped_topk(
+        ds, key="source", order_col="doc_id", k=20, tiebreak="doc_id",
+        rank_col="rank", descending=False,
+    )
+    return capped.map_batches(
+        lambda b: b.select(["source", "doc_id", "rank"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_conversation_line_dedup(sf_dir: str):
+    """Corpus-level duplicate-turn removal over ASSEMBLED conversations:
+    any turn text that repeats anywhere in the corpus keeps only its
+    first (conv, position) occurrence; conversations are reassembled
+    from surviving turns. Rows-only driver check; first-occurrence
+    semantics are pytest-verified with planted boilerplate."""
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.functions.dedup import dedup_lines
+    from ocr_processor_ray.pipelines.conversations import (
+        TURN_SEP,
+        assemble_conversations,
+    )
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+    cfg = ExtractConfig(salt_turn_threshold=256, read_num_blocks=16)
+    docs = assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
+
+    def project(b: pa.Table) -> pa.Table:
+        conv_int = pc.cast(
+            pc.utf8_slice_codeunits(b["conv_id"], 5, 2**31), pa.int64()
+        )
+        return pa.table({"conv_int": conv_int, "doc": b["doc"]})
+
+    ids_docs = docs.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # dedup_lines consumes its input twice (explode + reassembly union)
+    deduped = dedup_lines(ids_docs, id_col="conv_int", text_col="doc", sep=TURN_SEP)
+    return deduped.map_batches(
+        lambda b: pa.table(
+            {
+                "conv_int": b["conv_int"],
+                "n_lines": b["n_lines"],
+                "n_dropped": b["n_dropped"],
+                "clean_chars": pc.cast(pc.utf8_length(b["doc"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+QUERIES.update(
+    {
+        "docs_decontaminate": q_docs_decontaminate,
+        "dedup_keep_best": q_dedup_keep_best,
+        "docs_source_cap": q_docs_source_cap,
+        "conversation_line_dedup": q_conversation_line_dedup,
+    }
+)
+
+ORACLE_SQL["docs_decontaminate"] = f"""
+    WITH snip AS (
+        SELECT substr(text, {_DECON_OFF + 1}, {_DECON_LEN}) AS s
+        FROM documents
+        WHERE doc_id % {_DECON_MOD} = 0
+          AND doc_id < {_DECON_MAX_ID}
+          AND length(text) >= {_DECON_MIN_LEN}
+    )
+    SELECT d.doc_id,
+           EXISTS (SELECT 1 FROM snip WHERE contains(d.text, snip.s))
+               AS contaminated
+    FROM documents d
+"""
+ORACLE_SQL["dedup_keep_best"] = """
+    SELECT h, doc_id, n_chars, n FROM (
+        SELECT md5(text) AS h, doc_id, n_chars,
+               CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n,
+               row_number() OVER (
+                   PARTITION BY md5(text)
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents) WHERE rn = 1
+"""
+ORACLE_SQL["docs_source_cap"] = """
+    SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id ASC) AS rank
+        FROM documents) WHERE rank <= 20
+"""

@@ -1,0 +1,143 @@
+"""Planted-case tests for the round-3 corpus operators: quality-ranked
+exact dedup, corpus-level line dedup, and benchmark decontamination."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKeepBest:
+    def test_survivor_is_max_score_min_id(self):
+        from ocr_processor_ray.functions.dedup import exact_dedup_keep_best
+
+        rows = {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["dup", "dup", "dup", "uniq", "tie", "tie"],
+            "n_chars": [10, 30, 30, 5, 7, 7],
+        }
+        out = (
+            exact_dedup_keep_best(rd.from_arrow(pa.table(rows)))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # 'dup': max n_chars=30 shared by ids 2,3 → min id 2 survives
+        assert set(out.index) == {2, 4, 5}
+        assert out.loc[2, "n"] == 3 and out.loc[2, "n_chars"] == 30
+        assert out.loc[4, "n"] == 1
+        assert out.loc[5, "n"] == 2  # tie → min id
+
+    def test_range_violation_raises(self):
+        from ocr_processor_ray.functions.dedup import exact_dedup_keep_best
+
+        bad = pa.table(
+            {"doc_id": [1 << 42], "text": ["x"], "n_chars": [1]}
+        )
+        with pytest.raises(Exception, match="packed-key range"):
+            exact_dedup_keep_best(rd.from_arrow(bad)).to_pandas()
+
+    def test_packed_key_roundtrip_extremes(self):
+        from ocr_processor_ray.functions.dedup import exact_dedup_keep_best
+
+        rows = {
+            "doc_id": [0, (1 << 41) - 1],
+            "text": ["a", "b"],
+            "n_chars": [0, (1 << 22) - 1],
+        }
+        out = (
+            exact_dedup_keep_best(rd.from_arrow(pa.table(rows)))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "n_chars"] == 0
+        assert out.loc[(1 << 41) - 1, "n_chars"] == (1 << 22) - 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupLines:
+    def test_planted_boilerplate_first_occurrence_survives(self):
+        from ocr_processor_ray.functions.dedup import dedup_lines
+
+        boiler = "COPYRIGHT FOOTER 2026"
+        docs = {
+            "doc_id": [10, 20, 30],
+            "text": [
+                f"alpha\n{boiler}\nbeta",
+                f"{boiler}\ngamma\ngamma",
+                "delta\nunique line",
+            ],
+        }
+        out = (
+            dedup_lines(rd.from_arrow(pa.table(docs)))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # first occurrence of the boilerplate is in doc 10 (min doc, pos)
+        assert out.loc[10, "text"] == f"alpha\n{boiler}\nbeta"
+        assert out.loc[10, "n_dropped"] == 0
+        # doc 20 loses the boilerplate AND its own repeated 'gamma' line
+        assert out.loc[20, "text"] == "gamma"
+        assert out.loc[20, "n_dropped"] == 2
+        assert out.loc[30, "text"] == "delta\nunique line"
+        assert int(out["n_lines"].sum()) == 8
+
+    def test_within_doc_repeat_keeps_first(self):
+        from ocr_processor_ray.functions.dedup import dedup_lines
+
+        docs = {"doc_id": [1], "text": ["x\ny\nx\nx"]}
+        out = dedup_lines(rd.from_arrow(pa.table(docs))).to_pandas()
+        assert out.loc[0, "text"] == "x\ny"
+        assert out.loc[0, "n_dropped"] == 2
+
+    def test_custom_separator(self):
+        from ocr_processor_ray.functions.dedup import dedup_lines
+
+        docs = {"doc_id": [1, 2], "text": ["a||b", "b||c"]}
+        out = (
+            dedup_lines(rd.from_arrow(pa.table(docs)), sep="||")
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "text"] == "a||b"
+        assert out.loc[2, "text"] == "c"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecontaminate:
+    def test_flags_only_real_containment(self):
+        from ocr_processor_ray.functions.text import flag_contaminated
+
+        docs = {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps",
+                "an unrelated document body",
+                "prefix the quick brown suffix",
+            ],
+        }
+        out = (
+            flag_contaminated(rd.from_arrow(pa.table(docs)), ["the quick brown"])
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert bool(out.loc[1, "contaminated"])
+        assert not bool(out.loc[2, "contaminated"])
+        assert bool(out.loc[3, "contaminated"])
+
+    def test_empty_snippet_rejected(self):
+        from ocr_processor_ray.functions.text import flag_contaminated
+
+        with pytest.raises(ValueError, match="empty snippet"):
+            flag_contaminated(
+                rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]})), [""]
+            )
+
+    def test_no_snippets_flags_nothing(self):
+        from ocr_processor_ray.functions.text import flag_contaminated
+
+        out = flag_contaminated(
+            rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]})), []
+        ).to_pandas()
+        assert not out["contaminated"].any()
