@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "docs_decontaminate",
     "dedup_keep_best",
     "docs_source_cap",
+    "doc_quality_gate",
+    "docs_length_gate",
+    "customers_with_urgent_orders",
     "orders_mktsegment_bucketed_store",
     "flagship_status_counts",
     # -- heavier: one or more shuffles / joins --

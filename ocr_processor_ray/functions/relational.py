@@ -281,11 +281,12 @@ def bucketed_join(
 
     Exchange volume = both inputs exactly once, keyed by
     ``hash(key) % num_buckets`` (int or string keys).
-    ``how`` ∈ {"inner", "left", "anti"} — "anti" keeps left rows with NO
-    match (the big-big anti-join the resume skip uses at partition
-    granularity, here at row granularity).
+    ``how`` ∈ {"inner", "left", "anti", "semi"} — "anti" keeps left rows
+    with NO match (the big-big anti-join the resume skip uses at
+    partition granularity, here at row granularity); "semi" keeps left
+    rows WITH a match, without duplicating them per match (EXISTS).
     """
-    if how not in ("inner", "left", "anti"):
+    if how not in ("inner", "left", "anti", "semi"):
         raise ValueError(f"unsupported how={how!r}")
     both, l_cols, r_cols, l_types, r_types = _tagged_bucket_union(
         left, right, on, num_buckets, l_schema, r_schema
@@ -296,10 +297,12 @@ def bucketed_join(
         rhs = group[group["_side"] == 1][r_cols]
         if how == "anti":
             return lhs[~lhs[on].isin(rhs[on])]
+        if how == "semi":
+            return lhs[lhs[on].isin(rhs[on])]
         return lhs.merge(rhs, on=on, how=how, suffixes=("", suffix_right))
 
     expected = dict(l_types)
-    if how != "anti":
+    if how not in ("anti", "semi"):
         for c in r_cols:
             if c == on:
                 continue

@@ -2582,3 +2582,121 @@ ORACLE_SQL["docs_source_cap"] = """
                    PARTITION BY source ORDER BY doc_id ASC) AS rank
         FROM documents) WHERE rank <= 20
 """
+
+
+def q_customers_with_urgent_orders(sf_dir: str):
+    """Big-big SEMI join (EXISTS): customers with at least one 1-URGENT
+    order — left rows pass once regardless of match count; both sides
+    shuffle once keyed by custkey, no key-set broadcast."""
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.filter(
+                    pc.equal(b["o_orderpriority"], "1-URGENT")
+                )["o_custkey"]
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bucketed_join(
+        cust,
+        urgent,
+        on="c_custkey",
+        num_buckets=16,
+        how="semi",
+        l_schema={"c_custkey": pa.int64(), "c_mktsegment": pa.string()},
+        r_schema={"c_custkey": pa.int64()},
+    )
+
+
+_QUALITY_GATE_MIN = 120  # integer decision boundary — no float edge cases
+
+
+def q_doc_quality_gate(sf_dir: str):
+    """Quality-classifier gate as an INTEGER linear model over vectorized
+    count features (words, punctuation, capitals) — the deterministic
+    stand-in for a fasttext-style filter, exactly reproducible in SQL
+    because every term is an integer count."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        n_words = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=WORD_RE), pa.int64()
+        )
+        n_punct = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=r"[^A-Za-z0-9\s]"),
+            pa.int64(),
+        )
+        n_caps = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=r"[A-Z]"), pa.int64()
+        )
+        s = pc.subtract(
+            pc.subtract(pc.multiply(n_words, 3), pc.multiply(n_punct, 2)), n_caps
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "quality_score": s,
+                "keep": pc.greater_equal(s, _QUALITY_GATE_MIN),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_docs_length_gate(sf_dir: str):
+    """Percentile gate: drop the bottom length quartile. The p25
+    threshold comes from the iterative-histogram order-statistic op
+    (KB-sized histograms on the driver, never the data); the filter is
+    then a vectorized scan with the broadcast integer threshold."""
+    from ocr_processor_ray.functions.quantile import (
+        _scan_stats,
+        distributed_order_stats,
+        quantile_disc_k,
+    )
+
+    lens = _read(sf_dir, "documents", ["n_chars"])
+    stats = _scan_stats(lens, "n_chars")
+    k = quantile_disc_k(stats[0], 0.25)
+    thresh = distributed_order_stats(lens, "n_chars", [k], stats=stats)[k]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_chars"], thresh)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+QUERIES.update(
+    {
+        "customers_with_urgent_orders": q_customers_with_urgent_orders,
+        "doc_quality_gate": q_doc_quality_gate,
+        "docs_length_gate": q_docs_length_gate,
+    }
+)
+
+ORACLE_SQL["customers_with_urgent_orders"] = """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+ORACLE_SQL["doc_quality_gate"] = f"""
+    SELECT doc_id,
+           3 * len(regexp_extract_all(text, '\\S+'))
+         - 2 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         - len(regexp_extract_all(text, '[A-Z]')) AS quality_score,
+           (3 * len(regexp_extract_all(text, '\\S+'))
+          - 2 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+          - len(regexp_extract_all(text, '[A-Z]'))) >= {_QUALITY_GATE_MIN} AS keep
+    FROM documents
+"""
+ORACLE_SQL["docs_length_gate"] = """
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
+"""
