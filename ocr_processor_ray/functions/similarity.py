@@ -366,3 +366,119 @@ def ivf_topk(
         "sim",
         pa.array(np.round(t["sim"].to_numpy(), round_to)),
     )
+
+
+# --------------------------------------------------------- k-means (full)
+
+_KMEANS_SCALE = 1 << 20  # fixed-point quantum for order-independent sums
+
+
+def distributed_kmeans(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[np.ndarray, Dataset]:
+    """Full-corpus Lloyd k-means on the unit sphere (cosine assignment).
+
+    Scale shape, per round: centroids (k × dim floats) broadcast once via
+    ``ray.put``; every batch emits ONE partial row — k counts plus the
+    k × dim coordinate sums QUANTIZED to int64 fixed-point, so the merge
+    is pure integer addition and the result is bit-identical under ANY
+    merge order / block arrangement (float partial sums would drift with
+    the fold shape). Partials tree-fold toward the driver: per-round
+    driver traffic is O(k × dim), never O(corpus).
+
+    Init is the k lowest-``id_col`` vectors (deterministic, bounded
+    ``global_topk`` — no random driver sample). Returns the final
+    centroids and the (id, cluster) assignment Dataset.
+    """
+    import ray
+
+    from ocr_processor_ray.functions.agg import global_topk
+    from ocr_processor_ray.functions.sketch import tree_fold
+
+    seed_tbl = global_topk(
+        ds.map_batches(
+            lambda b: b.select([id_col, vec_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        order_col=id_col,
+        k=k,
+        tiebreak=id_col,
+        descending=False,
+    )
+    centroids = _normalize(_batch_matrix(seed_tbl, vec_col).astype(np.float64))
+    dim = centroids.shape[1]
+
+    for _ in range(iters):
+        cent_ref = ray.put(centroids.astype(np.float32))
+
+        def partial(b: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            m = _normalize(_batch_matrix(b, vec_col))
+            assign = np.argmax(m @ cents.T, axis=1)
+            counts = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+            q = np.round(m.astype(np.float64) * _KMEANS_SCALE).astype(np.int64)
+            sums = np.zeros((len(cents), m.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            return pa.table(
+                {
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                }
+            )
+
+        def merge(b: pa.Table) -> pa.Table:
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            for cbuf, sbuf in zip(b["counts"].to_pylist(), b["sums"].to_pylist()):
+                counts += np.frombuffer(cbuf, dtype=np.int64)
+                sums += np.frombuffer(sbuf, dtype=np.int64).reshape(k, dim)
+            return pa.table(
+                {
+                    "counts": pa.array([counts.tobytes()], pa.binary()),
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                }
+            )
+
+        rows = tree_fold(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            merge,
+        )
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        for r in rows:
+            counts += np.frombuffer(r["counts"], dtype=np.int64)
+            sums += np.frombuffer(r["sums"], dtype=np.int64).reshape(k, dim)
+        nonzero = counts > 0
+        new = centroids.copy()
+        new[nonzero] = sums[nonzero] / (
+            counts[nonzero, None].astype(np.float64) * _KMEANS_SCALE
+        )
+        centroids = _normalize(new)
+
+    cent_ref = ray.put(centroids.astype(np.float32))
+
+    def assign_batch(b: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(b, vec_col))
+        sims = m @ cents.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(assign)), assign]
+        # quantized similarity: keeps every downstream aggregate integer
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster": pa.array(assign.astype(np.int64)),
+                "sim_q": pa.array(
+                    np.round(best.astype(np.float64) * _KMEANS_SCALE).astype(np.int64)
+                ),
+            }
+        )
+
+    return centroids, ds.map_batches(
+        assign_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

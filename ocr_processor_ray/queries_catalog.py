@@ -2700,3 +2700,39 @@ ORACLE_SQL["docs_length_gate"] = """
     SELECT doc_id, n_chars FROM documents
     WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
 """
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Full-corpus distributed k-means (integer-quantized partial sums →
+    bit-identical under any merge order; tree-folded — O(k×dim) driver
+    traffic per round). Reports per-cluster size and mean assigned
+    cosine similarity, every aggregate integer until one final division."""
+    from ocr_processor_ray.functions.similarity import _KMEANS_SCALE, distributed_kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assigned = distributed_kmeans(ds, k=8, iters=3)
+    agg = two_phase_agg(
+        assigned,
+        ["cluster"],
+        [("sim_q", "count", "n_points"), ("sim_q", "sum", "sum_sim_q")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        mean_sim = pc.divide(
+            pc.cast(b["sum_sim_q"], pa.float64()),
+            pc.cast(
+                pc.multiply(b["n_points"], float(_KMEANS_SCALE)), pa.float64()
+            ),
+        )
+        return pa.table(
+            {
+                "cluster": b["cluster"],
+                "n_points": b["n_points"],
+                "mean_sim": mean_sim,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES["embedding_kmeans"] = q_embedding_kmeans
