@@ -190,7 +190,10 @@ def run_bench() -> dict:
     # can land entirely inside one. When the best sample still exceeds the
     # committed clean-window reference by >1.5×, keep sampling (bounded)
     # — the reported value is always the measured best, never the target.
-    extra_reps = int(os.environ.get("OPR_BENCH_EXTRA_REPS", "3"))
+    # noise windows last ~20 min and decay gradually (observed monotone
+    # 11.5→6.8 s across 6 reps inside one); a bigger extra-rep budget lets
+    # a run that starts inside a window ride it out (~7 s per extra rep)
+    extra_reps = int(os.environ.get("OPR_BENCH_EXTRA_REPS", "8"))
     clean_ref = float(os.environ.get("OPR_BENCH_CLEAN_REF_SEC", "3.6"))
 
     def timed_runs(fn, base_reps: int, ref_sec: float) -> list[float]:
@@ -241,12 +244,17 @@ def run_bench() -> dict:
         from ocr_processor_ray.pipelines.conversations import assemble_conversations
 
         conv_cfg = ExtractConfig(read_num_blocks=len(paths))
-        for _ in range(max(1, reps - 1)):
+
+        def one_conv() -> float:
             t0 = time.perf_counter()
-            n_convs = assemble_conversations(
-                run_extract(paths, conv_cfg), conv_cfg
-            ).count()
-            conv_runs.append(time.perf_counter() - t0)
+            n = assemble_conversations(run_extract(paths, conv_cfg), conv_cfg).count()
+            nonlocal_box.append(n)
+            return time.perf_counter() - t0
+
+        nonlocal_box: list[int] = []
+        conv_ref = float(os.environ.get("OPR_BENCH_CONV_CLEAN_REF_SEC", "8.0"))
+        conv_runs = timed_runs(one_conv, max(1, reps - 1), conv_ref)
+        n_convs = nonlocal_box[-1]
 
     # catalog queries in their OWN fresh session, light → heavy
     q_times: dict[str, float] = {}
