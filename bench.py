@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "training_corpus",
     "conversations_near_dedup",
     "conversation_line_dedup",
+    "embedding_kmeans",
 ]
 
 

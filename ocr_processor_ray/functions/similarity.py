@@ -411,6 +411,7 @@ def distributed_kmeans(
         descending=False,
     )
     centroids = _normalize(_batch_matrix(seed_tbl, vec_col).astype(np.float64))
+    k = centroids.shape[0]  # corpus smaller than requested k → clamp
     dim = centroids.shape[1]
 
     for _ in range(iters):

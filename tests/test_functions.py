@@ -260,6 +260,30 @@ class TestJoins:
         want = left.merge(right, on="k").sort_values("k", ignore_index=True)
         pd.testing.assert_frame_equal(got[["k", "a", "b"]], want, check_dtype=True)
 
+    def test_bucketed_semi_join_passes_left_once(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import bucketed_join
+
+        left = pd.DataFrame({"k": [f"key{i}" for i in range(30)], "a": range(30)})
+        # right has DUPLICATE matches — semi must not multiply left rows
+        right = pd.DataFrame({"k": [f"key{i}" for i in range(0, 30, 3)] * 2})
+        got = (
+            bucketed_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                on="k",
+                num_buckets=4,
+                how="semi",
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = left[left["k"].isin(set(right["k"]))].sort_values(
+            "k", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got[["k", "a"]], want, check_dtype=True)
+
     def test_connected_components_chain_and_clique(self):
         import ray.data as rd
 
