@@ -2736,3 +2736,50 @@ def q_embedding_kmeans(sf_dir: str):
 
 
 QUERIES["embedding_kmeans"] = q_embedding_kmeans
+
+
+def q_flagship_role_stats(sf_dir: str):
+    """Per-ROLE turn/failure/skip counts computed from the flagship
+    pipeline output — a second extraction-invariant projection over the
+    fixed oracle corpus (role passes through extraction untouched; the
+    status taxonomy is re-derived in SQL by the same fixed-template
+    failure predicate used by flagship_status_counts)."""
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+    from ocr_processor_ray.schema import STATUS_FAILED, STATUS_SKIPPED
+
+    ds = run_extract(_ensure_corpus(_oracle_corpus_dir(), 42, 150), ExtractConfig())
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "role": b["role"],
+                "failed": pc.cast(pc.equal(b["status"], STATUS_FAILED), pa.int64()),
+                "skipped": pc.cast(pc.equal(b["status"], STATUS_SKIPPED), pa.int64()),
+                "bytes_out": b["bytes_out"],
+            }
+        )
+
+    flagged = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_agg(
+        flagged,
+        ["role"],
+        [
+            ("failed", "count", "n_turns"),
+            ("failed", "sum", "n_failed"),
+            ("skipped", "sum", "n_skipped"),
+        ],
+    )
+
+
+QUERIES["flagship_role_stats"] = q_flagship_role_stats
+ORACLE_SQL["flagship_role_stats"] = f"""
+    SELECT role,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(*) FILTER (WHERE {_FAILURE_PRED}) AS BIGINT) AS n_failed,
+           CAST(count(*) FILTER (WHERE NOT {_FAILURE_PRED}
+                AND NOT starts_with(text, '%PDF-')
+                AND NOT starts_with(text, '<')) AS BIGINT) AS n_skipped
+    FROM read_parquet('{_CORPUS_GLOB}')
+    GROUP BY role
+"""
