@@ -13,6 +13,7 @@ and bit-deterministic across workers (SURVEY.md §7.4 hard part 1).
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 # subtrees dropped outright (boilerplate by tag)
@@ -142,6 +143,108 @@ def _collect_blocks(node: _Node, out: list[tuple[str, str]]) -> None:
             _collect_blocks(c, out)
 
 
+# ------------------------------------------------------------ fast path
+#
+# ``html.parser`` dominates the extraction kernel's profile (~58% of UDF
+# time). The scanner below handles the common well-formed subset with two
+# compiled regexes and produces a tree IDENTICAL to _DomBuilder's; on
+# anything outside that subset — entity references, comments/doctype/
+# CDATA, a ``<`` that isn't a clean tag, end tags with attributes,
+# ``>`` inside quoted attribute values — it returns None and the stdlib
+# parser runs instead. The choice depends only on the text, so results
+# stay deterministic; equivalence is property-tested (fast ≡ stdlib on
+# the synthetic corpus + adversarial fragments, test_kernels.py).
+
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s<>\"'`=]+))?)*)"
+    r"\s*(/?)>"
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'`=<>]+)))?"
+)
+# stdlib parses script/style content in CDATA mode (no tags inside);
+# the fast path replicates it only for a clean close — else bails
+_CDATA_CLOSE = {
+    t: (re.compile(rf"</\s*{t}", re.I), re.compile(rf"</\s*{t}\s*>", re.I))
+    for t in ("script", "style")
+}
+
+
+def _stdlib_root(text: str) -> "_Node":
+    builder = _DomBuilder()
+    builder.feed(text)
+    builder.close()
+    return builder.root
+
+
+def _fast_parse(text: str) -> "_Node | None":
+    """Build the same tree as _DomBuilder, or None when the fragment
+    needs the tolerant stdlib parser."""
+    if "&" in text:  # entity refs: stdlib unescapes (convert_charrefs)
+        return None
+    root = _Node("#root", False, None)
+    cur = root
+    pos = 0
+    n = len(text)
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt < 0:
+            cur.children.append(text[pos:])
+            break
+        if lt > pos:
+            cur.children.append(text[pos:lt])
+        m = _TAG_RE.match(text, lt)
+        if m is None:
+            return None  # comment, doctype, bogus '<', unterminated tag …
+        closing, tag, rawattrs, selfclose = m.groups()
+        tag = tag.lower()
+        if closing:
+            if rawattrs.strip() or selfclose:
+                return None  # end tag with attrs — stdlib semantics differ
+            c = cur
+            while c is not None and c.tag != tag:
+                c = c.parent
+            if c is not None and c.parent is not None:
+                cur = c.parent
+        else:
+            if tag in _VOID_TAGS:
+                if tag == "br":
+                    cur.children.append("\n")
+            else:
+                dropped = tag in _DROP_TAGS
+                if not dropped and rawattrs:
+                    for am in _ATTR_RE.finditer(rawattrs):
+                        k = am.group(1).lower()
+                        if k in ("class", "id"):
+                            v = am.group(2) or am.group(3) or am.group(4)
+                            if v:
+                                toks = (
+                                    v.replace("-", " ").replace("_", " ").lower().split()
+                                )
+                                if any(t in _DROP_TOKENS for t in toks):
+                                    dropped = True
+                                    break
+                node = _Node(tag, dropped, cur)
+                cur.children.append(node)
+                if not selfclose:
+                    if tag in _CDATA_CLOSE:
+                        prefix_re, close_re = _CDATA_CLOSE[tag]
+                        mp = prefix_re.search(text, m.end())
+                        mc = close_re.match(text, mp.start()) if mp else None
+                        if mc is None:
+                            return None  # unclosed/odd close — stdlib path
+                        if mp.start() > m.end():
+                            node.children.append(text[m.end() : mp.start()])
+                        pos = mc.end()
+                        continue
+                    cur = node
+        pos = m.end()
+    return root
+
+
 def extract_html_blocks(text: str) -> list[tuple[str, str]]:
     """Parse an HTML fragment and return content blocks ``(kind, raw_text)``.
 
@@ -152,10 +255,10 @@ def extract_html_blocks(text: str) -> list[tuple[str, str]]:
     4. Fragment with no block elements at all → the whole scope's text as
        one block of kind ``"text"``.
     """
-    builder = _DomBuilder()
-    builder.feed(text)
-    builder.close()
-    scope = _find_first(builder.root, _MAIN_TAGS) or builder.root
+    root = _fast_parse(text)
+    if root is None:
+        root = _stdlib_root(text)
+    scope = _find_first(root, _MAIN_TAGS) or root
     blocks: list[tuple[str, str]] = []
     _collect_blocks(scope, blocks)
     if not blocks:

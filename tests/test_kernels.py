@@ -208,3 +208,109 @@ class TestErrorTaxonomyAndRegistry:
         finally:
             core.register_extractor("html", orig)
         assert core.extract_turn("<div><p>back to normal text</p></div>")["clean_text"] != "CUSTOM"
+
+
+class TestFastHtmlPathEquivalence:
+    """The regex fast path must produce the SAME tree-derived blocks as
+    the stdlib parser wherever it claims a fragment (non-None), and must
+    bail (None) on constructs whose stdlib semantics it can't replicate."""
+
+    @staticmethod
+    def _blocks(root):
+        from ocr_processor_ray.extract.html_extract import (
+            _MAIN_TAGS,
+            _collect_blocks,
+            _collect_text,
+            _find_first,
+        )
+
+        scope = _find_first(root, _MAIN_TAGS) or root
+        out = []
+        _collect_blocks(scope, out)
+        if not out:
+            parts = []
+            if not scope.dropped:
+                _collect_text(scope, parts)
+            raw = "".join(parts)
+            if raw.strip():
+                out.append(("text", raw))
+        return out
+
+    CASES = [
+        '<p>hello</p>',
+        '<div class="sidebar"><p>ad</p></div><main><p>real</p></main>',
+        '<article><h1>T</h1><p>b <a href="x">l</a></p></article>',
+        '<p>one<br/>two</p>',
+        '<ul><li>a</li><li>b<li>c</ul>',
+        '<script>var x = 1 < 2;</script><p>after</p>',
+        '<script>document.write("<p>hi</p>")</script><p>after</p>',
+        '<script>var s = "</div>";</script><p>after</p>',
+        '<style>p > a { color: red }</style><p>after</p>',
+        '<P CLASS="AD">caps</P><p>ok</p>',
+        '<div><p>unclosed<p>two</div>',
+        '<div/><p>x</p>',
+        '<br></br><p>y</p>',
+        '<textarea><p>inside</p></textarea><p>out</p>',
+        '<main><p>m1</p></main><main><p>m2</p></main>',
+    ]
+    BAIL_CASES = [
+        '<p>a & b</p>',
+        '<!-- c --><p>c</p>',
+        '<p>bad < tag</p>',
+        '<p>tail<',
+        '<div class="a>b"><p>odd</p></div>',
+        '<script>open(',
+        '</p attr="x"><p>t</p>',
+    ]
+
+    def test_fast_equals_stdlib_on_claimed_fragments(self):
+        from ocr_processor_ray.extract.html_extract import _fast_parse, _stdlib_root
+
+        for c in self.CASES:
+            fast = _fast_parse(c)
+            assert fast is not None, c
+            assert self._blocks(fast) == self._blocks(_stdlib_root(c)), c
+
+    def test_bails_on_unreplicable_constructs(self):
+        from ocr_processor_ray.extract.html_extract import _fast_parse
+
+        for c in self.BAIL_CASES:
+            assert _fast_parse(c) is None, c
+
+    def test_corpus_sample_equivalence(self, transcripts_table):
+        from ocr_processor_ray.extract.html_extract import _fast_parse, _stdlib_root
+        from ocr_processor_ray.extract.sniff import sniff_kind
+
+        n_checked = 0
+        for x in transcripts_table["text"].to_pylist():
+            if sniff_kind(x) != "html":
+                continue
+            fast = _fast_parse(x)
+            if fast is None:
+                continue
+            assert self._blocks(fast) == self._blocks(_stdlib_root(x))
+            n_checked += 1
+        assert n_checked > 100  # the corpus must actually exercise the path
+
+    def test_random_fragments_never_diverge(self):
+        """Anything the fast path claims must match stdlib — fuzz over a
+        grammar mixing valid tags, boilerplate markers, misnesting, and
+        junk. Divergence hides as silently-different extraction output."""
+        import random
+
+        from ocr_processor_ray.extract.html_extract import _fast_parse, _stdlib_root
+
+        rng = random.Random(1234)
+        pieces = [
+            "<p>", "</p>", "<div>", "</div>", "<li>", "</li>", "<br/>",
+            "<a href='x'>", "</a>", "<main>", "</main>", "<td>", "</td>",
+            '<div class="sidebar">', '<span id="promo">', "</span>",
+            "<script>", "</script>", "text ", "more words ", "< ", "&amp;",
+            "<w p='1'>", "</w>", "<h2>", "</h2>", "<!-- x -->", "x>y ",
+        ]
+        for _ in range(400):
+            frag = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 14)))
+            fast = _fast_parse(frag)
+            if fast is None:
+                continue
+            assert self._blocks(fast) == self._blocks(_stdlib_root(frag)), frag
