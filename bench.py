@@ -289,13 +289,14 @@ def run_bench() -> dict:
         _fresh_session(NUM_CPUS)
         from ocr_processor_ray.queries_catalog import QUERIES
 
-        retry_budget = int(os.environ.get("OPR_BENCH_QUERY_RETRIES", "12"))
+        retry_budget = int(os.environ.get("OPR_BENCH_QUERY_RETRIES", "16"))
+        retry_factor = float(os.environ.get("OPR_BENCH_QUERY_RETRY_FACTOR", "2.0"))
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             _consume(QUERIES[name](SF_DIR))
             dt = time.perf_counter() - t0
             ref = QUERY_CLEAN_REF_SEC.get(name, 2.0)
-            if dt > 3 * ref and retry_budget > 0:
+            if dt > retry_factor * ref and retry_budget > 0:
                 retry_budget -= 1
                 t0 = time.perf_counter()
                 _consume(QUERIES[name](SF_DIR))
