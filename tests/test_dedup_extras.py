@@ -141,3 +141,52 @@ class TestDecontaminate:
             rd.from_arrow(pa.table({"doc_id": [1], "text": ["x"]})), []
         ).to_pandas()
         assert not out["contaminated"].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupLinesFuzz:
+    def test_random_corpora_match_brute_force(self):
+        """Property: dedup_lines ≡ a driver-side dict walk (first
+        (doc, pos) occurrence survives) on random corpora with heavy
+        line reuse and varying block layouts."""
+        import random
+
+        from ocr_processor_ray.functions.dedup import dedup_lines
+
+        rng = random.Random(77)
+        vocab = [f"line {i}" for i in range(12)]  # small → many repeats
+        for trial in range(4):
+            ids = list(range(1, 1 + rng.randint(3, 9)))
+            docs = {
+                d: "\n".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 8))
+                )
+                for d in ids
+            }
+            # brute force: first occurrence in (doc_id, pos) order wins
+            seen = set()
+            want = {}
+            for d in sorted(docs):
+                kept = []
+                for line in docs[d].split("\n"):
+                    if line not in seen:
+                        seen.add(line)
+                        kept.append(line)
+                want[d] = "\n".join(kept)
+            t = pa.table(
+                {
+                    "doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[d] for d in sorted(docs)]),
+                }
+            )
+            out = (
+                dedup_lines(rd.from_arrow(t).repartition(1 + trial))
+                .to_pandas()
+                .set_index("doc_id")
+            )
+            for d in sorted(docs):
+                assert out.loc[d, "text"] == want[d], (trial, d, docs)
+                n_dropped = len(docs[d].split("\n")) - (
+                    len(want[d].split("\n")) if want[d] else 0
+                )
+                assert out.loc[d, "n_dropped"] == n_dropped
