@@ -2783,3 +2783,57 @@ ORACLE_SQL["flagship_role_stats"] = f"""
     FROM read_parquet('{_CORPUS_GLOB}')
     GROUP BY role
 """
+
+
+def q_docs_incremental_dedup(sf_dir: str):
+    """Streaming-ingest dedup: the documents table arrives as two
+    day-batches (split by doc_id parity); day 2's survivors are the docs
+    whose content no prior increment saw. The persisted hash store makes
+    the query idempotent — re-running replays the recorded survivor set
+    (state/incremental.incremental_exact_dedup), so the driver's
+    rerun-determinism check passes by construction."""
+    import os
+    import tempfile
+
+    from ocr_processor_ray.state.incremental import incremental_exact_dedup
+
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    store = os.path.join(tempfile.gettempdir(), f"opr_inc_dedup_v1_{sf_name}")
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(keep_even: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 2 == 0) == keep_even))
+
+        return fn
+
+    day1 = ds.map_batches(parity(True), batch_format="pyarrow", zero_copy_batch=True)
+    day2 = ds.map_batches(parity(False), batch_format="pyarrow", zero_copy_batch=True)
+    incremental_exact_dedup(store, day1, "day-even")
+    survivors = incremental_exact_dedup(store, day2, "day-odd")
+    return survivors.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars_text": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+QUERIES["docs_incremental_dedup"] = q_docs_incremental_dedup
+
+
+ORACLE_SQL["docs_incremental_dedup"] = """
+    SELECT doc_id, length(text) AS n_chars_text
+    FROM documents d
+    WHERE doc_id % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM documents e
+                      WHERE e.doc_id % 2 = 0 AND md5(e.text) = md5(d.text))
+      AND doc_id = (SELECT min(d2.doc_id) FROM documents d2
+                    WHERE d2.doc_id % 2 = 1 AND md5(d2.text) = md5(d.text))
+"""

@@ -118,3 +118,102 @@ def incremental_agg_read(store_dir: str) -> pa.Table:
     if meta["gen"] < 0:
         raise FileNotFoundError(f"no generations in {store_dir}")
     return pq.read_table(_gen_dir(store_dir, meta["gen"]))
+
+
+def incremental_exact_dedup(
+    store_dir: str,
+    increment: Dataset,
+    increment_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Streaming-ingest exact dedup: rows of ``increment`` whose content
+    hash is new CORPUS-WIDE (nothing in any prior increment, first
+    occurrence within this increment wins), while folding the
+    increment's hashes into the persisted store for the next batch.
+
+    Scale shape: the store holds one (h, first_id, n) row per distinct
+    corpus hash, read back as a streaming ``read_parquet`` — the
+    increment's first-per-hash set anti-joins it bucketed (both sides
+    shuffle once, keyed by hash; nothing lands on the driver), and the
+    surviving ids semi-join the increment rows. Idempotent retries: the
+    survivor id set is recorded under ``inc=<id>/`` BEFORE the store
+    folds the increment, so a replayed ``increment_id`` returns the
+    SAME survivors instead of an empty set against the updated store.
+    """
+    import ray.data as rd
+
+    from ocr_processor_ray.functions.agg import two_phase_agg
+    from ocr_processor_ray.functions.dedup import add_md5
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in increment_id)
+    inc_dir = os.path.join(store_dir, f"inc={safe}")
+
+    hashed = increment.map_batches(
+        lambda t: add_md5(t, text_col), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed by firsts, the store fold, and the survivor join
+
+    meta = _read_meta(store_dir)
+    if increment_id in meta["applied"] and os.path.isdir(inc_dir):
+        new_firsts = rd.read_parquet(inc_dir)
+    else:
+        inc_firsts = two_phase_agg(
+            hashed.map_batches(
+                lambda t: t.select(["h", id_col]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["h"],
+            [(id_col, "min", id_col)],
+        )
+        if meta["gen"] >= 0:
+            store_hashes = rd.read_parquet(
+                _gen_dir(store_dir, meta["gen"]), columns=["h"]
+            )
+            new_firsts = bucketed_join(
+                inc_firsts,
+                store_hashes,
+                on="h",
+                how="anti",
+                l_schema={"h": pa.string(), id_col: pa.int64()},
+                r_schema={"h": pa.string()},
+            )
+        else:
+            new_firsts = inc_firsts
+        # record survivors BEFORE folding the store: a crash in between
+        # retries cleanly (store unchanged, recompute overwrites)
+        os.makedirs(store_dir, exist_ok=True)
+        tmp = os.path.join(store_dir, f".inc.{uuid.uuid4().hex}.tmp")
+        new_firsts.write_parquet(tmp)
+        if os.path.isdir(inc_dir):
+            import shutil
+
+            shutil.rmtree(inc_dir)
+        os.replace(tmp, inc_dir)
+        new_firsts = rd.read_parquet(inc_dir)
+        incremental_agg_update(
+            store_dir,
+            hashed.map_batches(
+                lambda t: t.select(["h", id_col]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["h"],
+            [(id_col, "min", "first_id"), (id_col, "count", "n")],
+            increment_id,
+        )
+
+    survivors = bucketed_join(
+        hashed,
+        new_firsts.map_batches(
+            lambda t: t.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        on=id_col,
+        how="semi",
+        l_schema=None,
+        r_schema={id_col: pa.int64()},
+    )
+    return survivors.map_batches(
+        lambda t: t.drop_columns(["h"]), batch_format="pyarrow", zero_copy_batch=True
+    )

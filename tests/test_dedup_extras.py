@@ -190,3 +190,39 @@ class TestDedupLinesFuzz:
                     len(want[d].split("\n")) if want[d] else 0
                 )
                 assert out.loc[d, "n_dropped"] == n_dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalDedup:
+    def test_cross_increment_dedup_and_idempotent_retry(self, tmp_path):
+        from ocr_processor_ray.state.incremental import incremental_exact_dedup
+
+        store = str(tmp_path / "dedup_store")
+        inc1 = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": ["alpha", "beta", "alpha", "gamma"],
+            }
+        )
+        s1 = incremental_exact_dedup(store, rd.from_arrow(inc1), "day1").to_pandas()
+        # first occurrence per hash within the increment
+        assert sorted(s1["doc_id"]) == [1, 2, 4]
+
+        inc2 = pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                "text": ["beta", "delta", "delta"],
+            }
+        )
+        s2 = incremental_exact_dedup(store, rd.from_arrow(inc2), "day2").to_pandas()
+        # 'beta' already in the corpus via day1 → only the new 'delta' survives
+        assert sorted(s2["doc_id"]) == [11]
+
+        # replaying an applied increment returns the SAME survivors
+        s2r = incremental_exact_dedup(store, rd.from_arrow(inc2), "day2").to_pandas()
+        assert sorted(s2r["doc_id"]) == [11]
+        s1r = incremental_exact_dedup(store, rd.from_arrow(inc1), "day1").to_pandas()
+        assert sorted(s1r["doc_id"]) == [1, 2, 4]
+
+        # survivors keep the original columns, not the internal hash
+        assert sorted(s2.columns) == ["doc_id", "text"]
