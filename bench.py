@@ -92,27 +92,14 @@ BENCH_QUERIES = [
 ]
 
 
-# clean-window reference seconds for the heavy queries (sf0.1, 32 cpus);
-# unlisted queries default to 2.0 s. Used only to decide whether a sample
-# looks noise-inflated and deserves one bounded re-run — never reported.
-QUERY_CLEAN_REF_SEC = {
-    "building_segment_revenue": 6.0,
-    "customers_with_urgent_orders": 3.0,
-    "top_orders_revenue": 3.0,
-    "revenue_by_nation": 6.0,
-    "events_asof_purchase": 3.0,
-    "minhash_pairs": 7.0,
-    "embedding_clusters": 6.0,
-    "training_corpus": 2.0,
-    "conversations_near_dedup": 13.0,
-    "conversation_line_dedup": 5.0,
-    "embedding_kmeans": 6.0,
-    "events_profile": 2.0,
-    "events_value_quantiles": 2.0,
-    "doc_top_terms": 2.0,
-    "simhash_pairs": 2.0,
-    "corpus_prep": 2.0,
-}
+# Every catalog query runs a FIXED number of reps (default 2) and the
+# min is reported, with all samples recorded in `query_runs`. The rep
+# count is unconditional — earlier rounds retried only when a sample
+# exceeded a committed clean-window constant, which is a one-sided,
+# target-conditioned selection rule and biases timings toward the
+# committed references; a fixed rep count is target-independent and
+# comparable across rounds, and min-of-2 also absorbs the first-touch
+# session residue the previous query leaves behind.
 
 
 def _ensure_corpus() -> int:
@@ -280,28 +267,25 @@ def run_bench() -> dict:
         conv_runs = timed_runs(one_conv, max(1, reps - 1), conv_ref)
         n_convs = nonlocal_box[-1]
 
-    # catalog queries in their OWN fresh session, light → heavy. A query
-    # whose sample exceeds 3× its clean-window reference re-runs (bounded
-    # budget, min kept): the tail of the list is exactly where a decaying
-    # noise window otherwise paints 5 s queries as 30 s ones.
+    # catalog queries in their OWN fresh session, light → heavy, each
+    # timed a fixed number of reps (min reported, all samples recorded)
+    # — see the note above BENCH_QUERIES for why the rep rule must be
+    # unconditional rather than reference-gated.
     q_times: dict[str, float] = {}
+    q_runs: dict[str, list[float]] = {}
     if BENCH_QUERIES:
         _fresh_session(NUM_CPUS)
         from ocr_processor_ray.queries_catalog import QUERIES
 
-        retry_budget = int(os.environ.get("OPR_BENCH_QUERY_RETRIES", "16"))
-        retry_factor = float(os.environ.get("OPR_BENCH_QUERY_RETRY_FACTOR", "2.0"))
+        q_reps = int(os.environ.get("OPR_BENCH_QUERY_REPS", "2"))
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            _consume(QUERIES[name](SF_DIR))
-            dt = time.perf_counter() - t0
-            ref = QUERY_CLEAN_REF_SEC.get(name, 2.0)
-            if dt > retry_factor * ref and retry_budget > 0:
-                retry_budget -= 1
+            samples: list[float] = []
+            for _ in range(q_reps):
                 t0 = time.perf_counter()
                 _consume(QUERIES[name](SF_DIR))
-                dt = min(dt, time.perf_counter() - t0)
-            q_times[name] = round(dt, 3)
+                samples.append(time.perf_counter() - t0)
+            q_times[name] = round(min(samples), 3)
+            q_runs[name] = [round(s, 3) for s in samples]
 
     result = {
         "metric": "flagship transcript extraction wall time (+ catalog query times)",
@@ -313,6 +297,7 @@ def run_bench() -> dict:
         "turns": turns,
         "turns_per_sec": round(turns / headline_sec, 1),
         "headline_runs": [round(s, 3) for s in headline_runs],
+        "query_runs": q_runs,
     }
     if ckpt_runs:
         ckpt_sec = min(ckpt_runs)
@@ -364,16 +349,37 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo_cpus), run(hi_cpus)
-    tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    # ≥5 lo/hi pairs (each phase best-of-2 inside its own fresh process)
+    # and the MEDIAN pair efficiency reported: a single host-level load
+    # window hitting one phase of one pair can no longer produce a
+    # sub-bar number on its own. All pair samples are recorded.
+    n_pairs = int(os.environ.get("OPR_SCALE_PAIRS", "5"))
+    pairs = []
+    for _ in range(n_pairs):
+        r_lo, r_hi = run(lo_cpus), run(hi_cpus)
+        tp_lo, tp_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+        pairs.append(
+            {
+                "sec": [r_lo["value"], r_hi["value"]],
+                "turns_per_sec": [tp_lo, tp_hi],
+                "efficiency": round((tp_hi / tp_lo) / (hi_cpus / lo_cpus), 3),
+            }
+        )
+    effs = sorted(p["efficiency"] for p in pairs)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    best_lo = max(p["turns_per_sec"][0] for p in pairs)
+    best_hi = max(p["turns_per_sec"][1] for p in pairs)
     return {
         "metric": "scaling efficiency (throughput ratio / cpu ratio)",
-        "value": round(eff, 3),
+        "value": median_eff,
         "unit": "efficiency",
         "cpus": [lo_cpus, hi_cpus],
-        "sec": [r_lo["value"], r_hi["value"]],
-        "turns_per_sec": [tp_lo, tp_hi],
+        "pairs": pairs,
+        "best_phase_efficiency": round(
+            (best_hi / best_lo) / (hi_cpus / lo_cpus), 3
+        ),
         "turns": r_lo["turns"],
     }
 

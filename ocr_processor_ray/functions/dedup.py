@@ -821,7 +821,15 @@ def dedup_lines(
         import pandas as pd
 
         doc_rows = g[g["_pos"] < 0]
-        assert len(doc_rows) == 1, "dedup_lines: duplicate doc id"
+        if len(doc_rows) != 1:
+            # loud failure (not assert — vanishes under python -O): a
+            # duplicated doc_id would silently merge two docs' drop
+            # positions into one survivor's text
+            raise ValueError(
+                f"dedup_lines: expected exactly one doc row per id, got "
+                f"{len(doc_rows)} for id {g[id_col].iloc[0]!r} — doc ids "
+                "must be unique (run exact_dedup first)"
+            )
         text = doc_rows["_txt"].iloc[0]
         drop_pos = set(g.loc[g["_pos"] >= 0, "_pos"].astype(int))
         lines = text.split(sep)

@@ -51,4 +51,13 @@ def stable_hash_array(values) -> np.ndarray:
     h = pd.util.hash_array(
         np.asarray(uniq, dtype=object), categorize=False
     ).astype(np.uint64)
+    if (codes < 0).any():
+        # factorize sends None/NaN to code -1, which would wrap to the
+        # LAST unique's hash — array-dependent, the exact bug this module
+        # exists to prevent. Give nulls one fixed value-determined hash.
+        out = np.empty(len(codes), dtype=np.uint64)
+        valid = codes >= 0
+        out[valid] = h[codes[valid]]
+        out[~valid] = np.uint64(0x9E3779B97F4A7C15)
+        return out
     return h[codes]

@@ -71,8 +71,12 @@ def broadcast_join(
             for c in payload_cols:
                 # non-key name collision with the big side: suffix the
                 # small side's column (same "_r" convention as the pandas
-                # fallback below) instead of emitting a duplicate name
-                name = c if c not in batch.column_names else c + "_r"
+                # fallback below); keep suffixing until unused so a big
+                # side that already has both `c` and `c_r` can never get
+                # a duplicate column name
+                name = c
+                while name in batch.column_names:
+                    name = name + "_r"
                 batch = batch.append_column(name, taken[c])
             return batch
 
@@ -116,7 +120,14 @@ def bucketed_map_groups(
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_bucket"])
-        outs = [kernel(sub) for _, sub in g.groupby(key, sort=False)]
+        # dropna=False: a null key is a real group, same as the raw-key
+        # Ray groupby this replaces (pandas' default dropna=True would
+        # silently drop those rows — a behavior change, not a semantics
+        # choice). _bucket_of routes nulls to bucket 0 deterministically.
+        outs = [
+            kernel(sub)
+            for _, sub in g.groupby(key, sort=False, dropna=False)
+        ]
         return pd.concat(outs, ignore_index=True)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
@@ -164,13 +175,18 @@ def _bucket_of(col: pa.ChunkedArray | pa.Array, num_buckets: int):
     import pyarrow.compute as pc
 
     if pa.types.is_integer(col.type):
-        keys = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        # null keys go to bucket 0 deterministically (the cast keeps
+        # nulls; to_numpy on a null-bearing int column would otherwise
+        # produce float NaN and an undefined int32 bucket)
+        filled = pc.fill_null(pc.cast(col, pa.int64()), 0)
+        keys = filled.to_numpy(zero_copy_only=False)
         return (keys % num_buckets).astype(np.int32)
     vals = np.asarray(col.to_pandas(), dtype=object)
     from ocr_processor_ray.functions.hashing import stable_hash_array
 
     # value-determined hash — see functions/hashing.py for the pandas
-    # NUL/C-string trap that would otherwise drop join matches
+    # NUL/C-string trap that would otherwise drop join matches; nulls
+    # hash to a fixed constant there, i.e. one deterministic bucket
     return (stable_hash_array(vals) % num_buckets).astype(np.int32)
 
 

@@ -2798,7 +2798,17 @@ def q_docs_incremental_dedup(sf_dir: str):
     from ocr_processor_ray.state.incremental import incremental_exact_dedup
 
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    store = os.path.join(tempfile.gettempdir(), f"opr_inc_dedup_v1_{sf_name}")
+    # Fold an input fingerprint (size+mtime of the source parquet) into
+    # the store path: if testdata is regenerated at the same path with
+    # new content, the replay branch would otherwise return the OLD
+    # recorded survivor ids semi-joined against NEW data (same guard
+    # idea as state/bucketed_store's meta refusal).
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    store = os.path.join(
+        tempfile.gettempdir(), f"opr_inc_dedup_v1_{sf_name}_{fp}"
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 

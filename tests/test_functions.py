@@ -1050,3 +1050,82 @@ class TestStableHash:
         bl = _bucket_of(left, 16)
         br = _bucket_of(right, 16)
         assert bl[0] == br[1]
+
+
+class TestRound4Fixes:
+    """Regression tests for the round-3 ADVICE defects."""
+
+    def test_stable_hash_nulls_fixed_and_value_determined(self):
+        """None must hash to ONE fixed value, not wrap to the last
+        unique's hash (pd.factorize sends nulls to code -1)."""
+        from ocr_processor_ray.functions.hashing import stable_hash_array
+
+        a = stable_hash_array(["x", None, "y"])
+        b = stable_hash_array([None, "zzz"])
+        assert a[1] == b[0]  # null hash independent of surrounding array
+        assert a[1] != a[0] and a[1] != a[2]
+        # and it must NOT equal the last unique's hash (the old bug)
+        assert a[1] != stable_hash_array(["y"])[0]
+
+    def test_bucketed_map_groups_keeps_null_keys(self):
+        """A null key is a real group (raw-key groupby semantics) — the
+        in-task pandas groupby must not silently drop those rows."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import bucketed_map_groups
+
+        df = pd.DataFrame(
+            {"k": ["a", "a", None, "b", None], "v": [1, 2, 3, 4, 5]}
+        )
+
+        def kern(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"k": [g["k"].iloc[0]], "s": [int(g["v"].sum())]}
+            )
+
+        got = (
+            bucketed_map_groups(rd.from_pandas(df), "k", kern, num_buckets=4)
+            .to_pandas()
+        )
+        by_key = {
+            ("<null>" if pd.isna(k) else k): s
+            for k, s in zip(got["k"], got["s"])
+        }
+        assert by_key == {"a": 3, "b": 4, "<null>": 8}
+
+    def test_bucket_of_null_int_keys_deterministic(self):
+        from ocr_processor_ray.functions.relational import _bucket_of
+
+        col = pa.chunked_array([pa.array([5, None, 7], type=pa.int64())])
+        b = _bucket_of(col, 16)
+        assert len(b) == 3 and 0 <= b[1] < 16
+        assert b[1] == _bucket_of(pa.chunked_array([pa.array([None], type=pa.int64())]), 16)[0]
+
+    def test_broadcast_join_second_level_collision_uniquified(self):
+        """Big side already has `name` AND `name_r`: the arrow fast path
+        must emit `name_r_r`, never a duplicate column name."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import broadcast_join
+
+        big = pd.DataFrame(
+            {"k": [1, 2], "name": ["b1", "b2"], "name_r": ["r1", "r2"]}
+        )
+        small = pd.DataFrame({"k": [1, 2], "name": ["s1", "s2"]})
+        got = broadcast_join(rd.from_pandas(big), small, on="k").to_pandas()
+        assert sorted(got.columns) == ["k", "name", "name_r", "name_r_r"]
+        assert got.sort_values("k")["name_r_r"].tolist() == ["s1", "s2"]
+
+    def test_dedup_lines_duplicate_doc_id_raises(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import dedup_lines
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 1], "text": ["a\nb", "c\nd"]}
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception) as ei:
+            dedup_lines(rd.from_pandas(df)).to_pandas()
+        assert "doc" in str(ei.value).lower() or "RayTaskError" in type(ei.value).__name__
