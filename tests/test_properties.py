@@ -130,3 +130,33 @@ def test_batch_minhash_equals_per_doc(texts):
     sigs = batch_minhash_signatures(texts)
     for i, t in enumerate(texts):
         assert np.array_equal(sigs[i], minhash_signature(t)), i
+
+
+@given(st.lists(st.text(min_size=0, max_size=80), max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_batch_simhash_equals_per_doc(texts):
+    from ocr_processor_ray.functions.dedup import batch_simhash64, simhash64
+
+    got = batch_simhash64(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == simhash64(t), (i, t)
+
+
+def test_batch_simhash_edge_cases():
+    from ocr_processor_ray.functions.dedup import batch_simhash64, simhash64
+
+    texts = [
+        "",                      # empty doc → sentinel
+        "   \t\n  ",             # whitespace-only → sentinel
+        "a",                     # single token
+        "a a a a a",             # repeated token
+        "tok\x00en nul\x00led",  # NUL inside tokens (khash trap)
+        "tok\\0en",              # literal backslash-zero ≠ NUL token
+        "a\x1cb",                # \x1c: python isspace() splits, Unicode WSpace doesn't
+        "word " * 300,           # long doc
+        "",                      # empty at the END (reduceat offset clamp)
+    ]
+    got = batch_simhash64(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == simhash64(t), (i, repr(t))
+    assert got[0] == got[1] == -(1 << 63)
