@@ -20,15 +20,22 @@ from __future__ import annotations
 import numpy as np
 
 
-def stable_hash_array(values) -> np.ndarray:
+# the pandas default key is "0123456789123456"; this second key gives an
+# INDEPENDENT siphash lane for 128-bit content identity (content_hash128)
+_LANE2_KEY = "fedcba9876543210"
+
+
+def stable_hash_array(values, hash_key: str | None = None) -> np.ndarray:
     """uint64 value-determined hash per element (int or string arrays).
     Same fixed-key siphash family as pandas, safe for NUL-containing
-    strings, identical results for the same value in any array."""
+    strings, identical results for the same value in any array.
+    ``hash_key`` (16 chars) selects an independent siphash lane."""
     import pandas as pd
 
+    kw = {} if hash_key is None else {"hash_key": hash_key}
     if isinstance(values, np.ndarray) and values.dtype.kind in "iuf":
         # numeric: element-wise, no string table involved
-        return pd.util.hash_array(values, categorize=False).astype(np.uint64)
+        return pd.util.hash_array(values, categorize=False, **kw).astype(np.uint64)
     # strings go STRAIGHT to object dtype: np.asarray(list_of_str) builds
     # a '<U' array, and numpy '<U' arrays silently strip trailing NULs
     arr = np.asarray(values, dtype=object)
@@ -49,7 +56,7 @@ def stable_hash_array(values) -> np.ndarray:
         )
     codes, uniq = pd.factorize(arr)
     h = pd.util.hash_array(
-        np.asarray(uniq, dtype=object), categorize=False
+        np.asarray(uniq, dtype=object), categorize=False, **kw
     ).astype(np.uint64)
     if (codes < 0).any():
         # factorize sends None/NaN to code -1, which would wrap to the
@@ -61,3 +68,17 @@ def stable_hash_array(values) -> np.ndarray:
         out[~valid] = np.uint64(0x9E3779B97F4A7C15)
         return out
     return h[codes]
+
+
+def content_hash128(values) -> tuple[np.ndarray, np.ndarray]:
+    """Two INDEPENDENT uint64 siphash lanes per element — a vectorized
+    128-bit content identity. At 10^10 distinct values the birthday
+    collision odds anywhere in the corpus are ~(10^10)^2 / 2^129 ≈
+    1.5e-19 (vs ~0.3% for one 64-bit lane). Each lane is the same
+    factorize-once pipeline as ``stable_hash_array``, so the pair costs
+    ~2× one lane — far cheaper than per-row ``hashlib.md5`` and fully
+    vectorized."""
+    return (
+        stable_hash_array(values),
+        stable_hash_array(values, hash_key=_LANE2_KEY),
+    )

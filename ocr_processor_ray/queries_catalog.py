@@ -1876,7 +1876,9 @@ def q_training_corpus(sf_dir: str):
         return b.filter(keep).select(["conv_id", "doc"])
 
     gated = docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
-    return exact_dedup_groups(gated, id_col="conv_id", text_col="doc")
+    # fast128: vectorized two-lane siphash — no per-row md5 (this query
+    # has no SQL oracle, so no DuckDB md5() parity to preserve)
+    return exact_dedup_groups(gated, id_col="conv_id", text_col="doc", hash="fast128")
 
 
 def q_conversations_near_dedup(sf_dir: str):

@@ -1129,3 +1129,40 @@ class TestRound4Fixes:
         with _pytest.raises(Exception) as ei:
             dedup_lines(rd.from_pandas(df)).to_pandas()
         assert "doc" in str(ei.value).lower() or "RayTaskError" in type(ei.value).__name__
+
+
+class TestHash128:
+    def test_lanes_independent_and_deterministic(self):
+        from ocr_processor_ray.functions.hashing import content_hash128
+
+        vals = ["a", "b", "", "\x00", "a\x00b", "x" * 500]
+        lo, hi = content_hash128(vals)
+        lo1, hi1 = content_hash128(["a\x00b"])
+        assert lo[4] == lo1[0] and hi[4] == hi1[0]  # value-determined
+        assert len(set(lo.tolist())) == len(vals)
+        assert len(set(hi.tolist())) == len(vals)
+        assert not np.array_equal(lo, hi)  # lanes differ
+
+    def test_exact_dedup_fast128_matches_md5_grouping(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import exact_dedup_groups
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["aa", "bb", "aa", "cc", "bb"],
+            }
+        )
+        md5 = (
+            exact_dedup_groups(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        fast = (
+            exact_dedup_groups(rd.from_pandas(df), hash="fast128")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert md5[["doc_id", "n"]].equals(fast[["doc_id", "n"]])
+        assert sorted(fast.columns) == ["doc_id", "h_hi", "h_lo", "n"]
