@@ -216,36 +216,93 @@ def resize_images(ds: Dataset, target=(224, 224), concurrency=(1, 4),
     )
 
 
+def _try_av():
+    """Optional video-codec seam (same pattern as ``_try_pil``): PyAV
+    when importable, else ``None`` — callers fall back to the stub."""
+    try:
+        import av
+
+        return av
+    except ImportError:
+        return None
+
+
 class FrameSample:
     """Video → N evenly-spaced frames, exploded to one row per frame
     (the flat-map shape: a 2-hour video becomes N bounded rows, never one
-    giant decoded array). Real path would hold an ffmpeg context from
-    ``__init__``; fake frames are byte-slices hashed per index."""
+    giant decoded array).
 
-    def __init__(self, n_frames: int = 4, fake: bool = True,
+    ``fake`` modes mirror ``DecodeImage``: ``None`` auto-detects PyAV
+    (held per actor from ``__init__`` — the external-engine seam,
+    ocr_combined.py:193-199), ``True`` forces the deterministic stub,
+    ``False`` requires the real codec and raises at ``__init__`` when
+    PyAV is absent. The real path decodes each payload once and keeps
+    the N frames nearest the evenly-spaced timestamps; a payload PyAV
+    cannot parse yields zero rows (corrupt-input-skip, O8 semantics)."""
+
+    def __init__(self, n_frames: int = 4, fake: bool | None = True,
                  payload_col: str = "payload"):
-        if not fake:
-            raise NotImplementedError(
-                "real frame sampling requires ffmpeg/pyav, not present in this "
-                "environment; construct with fake=True for the deterministic stub"
-            )
+        if fake is None:
+            self._av = _try_av()
+        elif not fake:
+            self._av = _try_av()
+            if self._av is None:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg/pyav, not present in "
+                    "this environment; construct with fake=True for the "
+                    "deterministic stub or fake=None to auto-fall-back"
+                )
+        else:
+            self._av = None
         self.n_frames = n_frames
         self.payload_col = payload_col
 
+    def _real_frames(self, data: bytes) -> list[tuple[int, int, bytes]]:
+        """(frame_idx, ts_ms, jpeg_bytes) — evenly spaced decode order."""
+        import io
+
+        try:
+            with self._av.open(io.BytesIO(data)) as container:
+                stream = container.streams.video[0]
+                frames = list(container.decode(stream))
+            if not frames:
+                return []
+            picks = [
+                frames[min(int(i * len(frames) / self.n_frames), len(frames) - 1)]
+                for i in range(self.n_frames)
+            ]
+            out = []
+            for i, fr in enumerate(picks):
+                ts_ms = int((fr.time or 0.0) * 1000)
+                buf = io.BytesIO()
+                fr.to_image().save(buf, format="JPEG")
+                out.append((i, ts_ms, buf.getvalue()))
+            return out
+        except Exception:
+            return []  # unparsable payload → zero frames, never raises
+
+    def _fake_frames(self, data: bytes) -> list[tuple[int, int, bytes]]:
+        dur_ms = 1000 + (len(data) * 37) % 600000  # fake duration
+        return [
+            (
+                i,
+                int(i * dur_ms / self.n_frames),
+                hashlib.blake2b(data + bytes([i]), digest_size=32).digest(),
+            )
+            for i in range(self.n_frames)
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        frames_of = self._real_frames if self._av is not None else self._fake_frames
         ids, fidx, fts, fpay = [], [], [], []
         for mid, data in zip(
             batch["media_id"].to_pylist(), batch[self.payload_col].to_pylist()
         ):
-            data = data or b""
-            dur_ms = 1000 + (len(data) * 37) % 600000  # fake duration
-            for i in range(self.n_frames):
+            for i, ts, payload in frames_of(data or b""):
                 ids.append(mid)
                 fidx.append(i)
-                fts.append(int(i * dur_ms / self.n_frames))
-                fpay.append(
-                    hashlib.blake2b(data + bytes([i]), digest_size=32).digest()
-                )
+                fts.append(ts)
+                fpay.append(payload)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -272,47 +329,86 @@ class AudioChunk:
     """Audio → fixed-length windows with overlap, exploded one row per
     chunk (the streaming-ASR pre-processing shape: an hour of audio
     becomes bounded rows; batch inference consumes chunks, not files).
-    Real path would hold a resampler (libsoundfile/ffmpeg) from
-    ``__init__``; fake chunks are deterministic byte-slices so the
-    Ray-side plumbing — schema, explode ratios, actor signature — is
-    real and tested."""
+
+    ``fake`` modes mirror ``DecodeImage``; the REAL path needs no
+    external dependency — stdlib ``wave`` parses WAV containers, so
+    ``fake=False`` always works for PCM WAV payloads: the true duration
+    comes from the header and each chunk's payload is the actual PCM
+    byte slice for its window (a WAV payload the parser rejects yields
+    zero chunks — corrupt-input-skip, O8 semantics). ``fake=True``
+    keeps the deterministic stub (hash-derived durations/payloads) for
+    synthetic corpora; ``fake=None`` tries WAV per payload and falls
+    back to the stub for non-WAV bytes."""
 
     def __init__(self, chunk_ms: int = 30_000, overlap_ms: int = 1_000,
-                 fake: bool = True, payload_col: str = "payload"):
-        if not fake:
-            raise NotImplementedError(
-                "real audio chunking requires soundfile/ffmpeg, not present in "
-                "this environment; construct with fake=True for the stub"
-            )
+                 fake: bool | None = True, payload_col: str = "payload"):
         if overlap_ms >= chunk_ms:
             raise ValueError("overlap must be shorter than the chunk")
+        self.fake = fake
         self.chunk_ms = chunk_ms
         self.overlap_ms = overlap_ms
         self.payload_col = payload_col
 
+    def _parse_wav(self, data: bytes):
+        """(duration_ms, pcm_bytes, bytes_per_ms) or None if not WAV."""
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(data)) as w:
+                nch, sw, fr, nframes = (
+                    w.getnchannels(),
+                    w.getsampwidth(),
+                    w.getframerate(),
+                    w.getnframes(),
+                )
+                pcm = w.readframes(nframes)
+        except Exception:
+            return None
+        if fr <= 0:
+            return None
+        frame_bytes = nch * sw
+        dur_ms = int(nframes * 1000 / fr)
+        return dur_ms, pcm, fr, frame_bytes
+
+    def _windows(self, dur_ms: int):
+        step = self.chunk_ms - self.overlap_ms
+        t = 0
+        while t < dur_ms:
+            yield t, min(t + self.chunk_ms, dur_ms)
+            t += step
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, cidx, starts, ends, cpay = [], [], [], [], []
-        step = self.chunk_ms - self.overlap_ms
         for mid, data in zip(
             batch["media_id"].to_pylist(), batch[self.payload_col].to_pylist()
         ):
             data = data or b""
-            dur_ms = 5000 + (len(data) * 53) % 3_600_000  # fake duration
-            t = 0
-            i = 0
-            while t < dur_ms:
-                end = min(t + self.chunk_ms, dur_ms)
-                ids.append(mid)
-                cidx.append(i)
-                starts.append(t)
-                ends.append(end)
-                cpay.append(
-                    hashlib.blake2b(
-                        data + t.to_bytes(8, "big"), digest_size=32
-                    ).digest()
-                )
-                t += step
-                i += 1
+            wav = None if self.fake is True else self._parse_wav(data)
+            if wav is None and self.fake is False:
+                continue  # real mode: unparsable payload → zero chunks
+            if wav is not None:
+                dur_ms, pcm, fr, frame_bytes = wav
+                for i, (t, end) in enumerate(self._windows(dur_ms)):
+                    ids.append(mid)
+                    cidx.append(i)
+                    starts.append(t)
+                    ends.append(end)
+                    a = (t * fr // 1000) * frame_bytes
+                    b = (end * fr // 1000) * frame_bytes
+                    cpay.append(pcm[a:b])  # the actual PCM slice
+            else:
+                dur_ms = 5000 + (len(data) * 53) % 3_600_000  # fake duration
+                for i, (t, end) in enumerate(self._windows(dur_ms)):
+                    ids.append(mid)
+                    cidx.append(i)
+                    starts.append(t)
+                    ends.append(end)
+                    cpay.append(
+                        hashlib.blake2b(
+                            data + t.to_bytes(8, "big"), digest_size=32
+                        ).digest()
+                    )
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

@@ -1848,6 +1848,27 @@ def q_conversation_docs(sf_dir: str):
     return assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
 
 
+def q_conversation_doc_stats(sf_dir: str):
+    """SQL-oracled projection of ``conversation_docs`` (r3 verdict item
+    7): per-conversation (n_turns, n_failed, n_skipped) AFTER the full
+    extraction → salted assembly → merge pipeline. The counts are
+    determined by extraction-invariant facts of the fixed corpus (the
+    same ``_FAILURE_PRED`` template as flagship_status_counts), so
+    DuckDB can recompute them from the raw parquet — which verifies the
+    salted two-stage assembly shuffle loses/duplicates nothing."""
+    from ocr_processor_ray.config import ExtractConfig
+    from ocr_processor_ray.pipelines.conversations import assemble_conversations
+    from ocr_processor_ray.pipelines.extract_pipeline import run_extract
+
+    cfg = ExtractConfig(salt_turn_threshold=256, read_num_blocks=16)
+    # the FIXED oracle corpus (sf-independent) — its path is baked into
+    # the static ORACLE_SQL string, same as flagship_status_counts
+    docs = assemble_conversations(
+        run_extract(_ensure_corpus(_oracle_corpus_dir(), 42, 150), cfg), cfg
+    )
+    return docs.select_columns(["conv_id", "n_turns", "n_failed", "n_skipped"])
+
+
 def q_training_corpus(sf_dir: str):
     """The WHOLE training-corpus build in one streaming pipeline:
     raw transcripts → per-turn extraction (flagship map) → salted
@@ -2003,6 +2024,7 @@ QUERIES = {
     "supplier_acctbal_by_nation": q_supplier_acctbal_by_nation,
     "flagship_extract": q_flagship_extract,
     "conversation_docs": q_conversation_docs,
+    "conversation_doc_stats": q_conversation_doc_stats,
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
@@ -2526,6 +2548,19 @@ ORACLE_SQL["flagship_payload_kinds"] = f"""
            CAST(count(*) AS BIGINT) AS n_turns
     FROM read_parquet('{_CORPUS_GLOB}')
     GROUP BY 1
+"""
+# same template as flagship_status_counts, but the Ray side goes through
+# the SALTED ASSEMBLY pipeline — a green row proves the two-stage
+# conversation shuffle neither loses nor duplicates turns (r4)
+ORACLE_SQL["conversation_doc_stats"] = f"""
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(*) FILTER (WHERE {_FAILURE_PRED}) AS BIGINT) AS n_failed,
+           CAST(count(*) FILTER (WHERE NOT {_FAILURE_PRED}
+                AND NOT starts_with(text, '%PDF-')
+                AND NOT starts_with(text, '<')) AS BIGINT) AS n_skipped
+    FROM read_parquet('{_CORPUS_GLOB}')
+    GROUP BY conv_id
 """
 
 

@@ -615,8 +615,8 @@ class TestMultimodal:
         assert df.sort_values(["media_id", "chunk_idx"], ignore_index=True).equals(
             df2.sort_values(["media_id", "chunk_idx"], ignore_index=True)
         )
-        with pytest.raises(NotImplementedError):
-            AudioChunk(fake=False)
+        # fake=False is now the REAL path (stdlib wave) — see
+        # TestAudioVideoSeams for its coverage
         with pytest.raises(ValueError):
             AudioChunk(chunk_ms=1000, overlap_ms=1000)
 
@@ -1166,3 +1166,115 @@ class TestHash128:
         )
         assert md5[["doc_id", "n"]].equals(fast[["doc_id", "n"]])
         assert sorted(fast.columns) == ["doc_id", "h_hi", "h_lo", "n"]
+
+
+class TestAudioVideoSeams:
+    """r3 verdict item 6: real codec seams for audio (stdlib wave — real
+    chunking with zero new deps) and video (PyAV skip-or-run)."""
+
+    @staticmethod
+    def _wav_bytes(seconds: float = 2.5, rate: int = 8000, nch: int = 1) -> bytes:
+        import io
+        import wave
+
+        nframes = int(seconds * rate)
+        pcm = bytes((i * 7) % 256 for i in range(nframes * nch * 2))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm)
+        return buf.getvalue(), pcm, rate, nch
+
+    def test_real_wav_chunking_slices_actual_pcm(self):
+        from ocr_processor_ray.functions.multimodal import AudioChunk
+
+        wav, pcm, rate, nch = self._wav_bytes(seconds=2.5, rate=8000)
+        t = pa.table(
+            {
+                "media_id": pa.array([7], pa.int64()),
+                "payload": pa.array([wav], pa.binary()),
+            }
+        )
+        out = AudioChunk(chunk_ms=1000, overlap_ms=200, fake=False)(t)
+        d = out.to_pydict()
+        # true duration 2500 ms, step 800: starts 0,800,1600,2400
+        assert d["start_ms"] == [0, 800, 1600, 2400]
+        assert d["end_ms"] == [1000, 1800, 2500, 2500]
+        # chunk payloads are the REAL PCM byte slices for each window
+        fb = nch * 2
+        for s, e, chunk in zip(d["start_ms"], d["end_ms"], d["chunk"]):
+            a = (s * rate // 1000) * fb
+            b = (e * rate // 1000) * fb
+            assert chunk == pcm[a:b]
+
+    def test_real_mode_skips_non_wav_payloads(self):
+        from ocr_processor_ray.functions.multimodal import AudioChunk
+
+        t = pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array([b"not audio", None], pa.binary()),
+            }
+        )
+        out = AudioChunk(fake=False)(t)
+        assert out.num_rows == 0  # corrupt-input-skip, never raises
+
+    def test_auto_mode_real_for_wav_stub_for_rest(self):
+        from ocr_processor_ray.functions.multimodal import AudioChunk
+
+        wav, pcm, rate, nch = self._wav_bytes(seconds=1.2)
+        t = pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "payload": pa.array([wav, b"opaque bytes"], pa.binary()),
+            }
+        )
+        out = AudioChunk(chunk_ms=1000, overlap_ms=100, fake=None)(t).to_pydict()
+        real_rows = [i for i, m in enumerate(out["media_id"]) if m == 1]
+        stub_rows = [i for i, m in enumerate(out["media_id"]) if m == 2]
+        assert real_rows and stub_rows
+        assert out["end_ms"][real_rows[-1]] == 1200  # header duration
+        # stub rows keep the hash-derived payload shape (32-byte digest)
+        assert all(len(out["chunk"][i]) == 32 for i in stub_rows)
+
+    def test_frame_sample_real_codec_seam(self):
+        from ocr_processor_ray.functions.multimodal import FrameSample, _try_av
+
+        if _try_av() is None:
+            with pytest.raises(NotImplementedError):
+                FrameSample(fake=False)
+            # auto mode falls back to the stub, byte-identical to fake=True
+            t = pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([b"xyz"], pa.binary()),
+                }
+            )
+            assert FrameSample(fake=None)(t).equals(FrameSample(fake=True)(t))
+        else:  # pragma: no cover - av not in this container
+            import io
+
+            import av as _av
+
+            buf = io.BytesIO()
+            with _av.open(buf, "w", format="mp4") as c:
+                stream = c.add_stream("mpeg4", rate=10)
+                stream.width, stream.height = 64, 64
+                stream.pix_fmt = "yuv420p"
+                for i in range(20):
+                    frame = _av.VideoFrame(64, 64, "rgb24")
+                    for packet in stream.encode(frame):
+                        c.mux(packet)
+                for packet in stream.encode():
+                    c.mux(packet)
+            t = pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([buf.getvalue()], pa.binary()),
+                }
+            )
+            out = FrameSample(n_frames=4, fake=False)(t)
+            assert out.num_rows == 4
+            assert all(p.startswith(b"\xff\xd8") for p in out["frame"].to_pylist())
