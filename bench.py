@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "word_postings",
     "docs_pack_sequences",
     "docs_decontaminate",
+    "docs_decontaminate_13gram",
+    "docs_oov_rate",
+    "ann_topk_per_label",
     "dedup_keep_best",
     "docs_source_cap",
     "doc_quality_gate",
@@ -72,6 +75,7 @@ BENCH_QUERIES = [
     "customers_with_urgent_orders",
     "orders_mktsegment_bucketed_store",
     "flagship_status_counts",
+    "conversation_doc_stats",
     # -- heavier: one or more shuffles / joins --
     "top_orders_revenue",
     "revenue_by_nation",

@@ -249,3 +249,81 @@ def flag_contaminated(
         return pa.table({id_col: b[id_col], out: mask})
 
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def flag_contaminated_ngrams(
+    ds,
+    snippets: list[str],
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "contaminated",
+):
+    """Benchmark decontamination by n-gram OVERLAP (the GPT-3 rule:
+    a training doc is contaminated if it shares any 13-gram with an
+    eval example) — the word-window generalization of
+    ``flag_contaminated``'s exact-substring rule: it also catches
+    partially quoted / reformatted eval content that substring matching
+    misses. → (id_col, out bool) per row.
+
+    Scale shape: the benchmark's n-gram hash sets are computed ONCE on
+    the driver (eval sets are small by definition), sorted, shipped via
+    ``ray.put``; each batch computes its docs' rolling n-gram hashes
+    with the same vectorized polynomial combine the minhash family uses
+    (``dedup._rolling_shingles`` — one ``stable_hash_array`` pass per
+    batch) and probes membership with ``np.searchsorted``. Cost is
+    O(corpus tokens · sizes · log |benchmark n-grams|); nothing
+    corpus-sized ever leaves the workers. A snippet SHORTER than ``n``
+    words contributes its full-length window (a rolling m-gram with
+    m = its word count), so verbatim inclusions of short eval examples
+    still match; the distinct window-size count is ≤ n and 1 in the
+    common all-snippets-long case.
+    """
+    import ray
+
+    from ocr_processor_ray.functions.dedup import (
+        _rolling_shingles,
+        _word_hashes,
+    )
+
+    if any(not s.split() for s in snippets):
+        raise ValueError("blank snippet matches everything — refuse")
+
+    by_size: dict[int, list[np.ndarray]] = {}
+    for s in snippets:
+        wh = _word_hashes(s.split())
+        m = min(len(wh), n)
+        by_size.setdefault(m, []).append(_rolling_shingles(wh, m))
+    bench = {
+        m: np.unique(np.concatenate(gs)) for m, gs in by_size.items()
+    }
+    bench_ref = ray.put(bench)
+
+    def scan(b: pa.Table) -> pa.Table:
+        bsets = ray.get(bench_ref)  # local zero-copy after first fetch
+        flags = np.zeros(b.num_rows, dtype=bool)
+        words_per = [t.split() for t in b[text_col].to_pylist()]
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        flat = [w for ws in words_per for w in ws]
+        if flat:
+            wh = _word_hashes(flat)
+            offs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            for i, (o, ln) in enumerate(zip(offs, lens)):
+                if ln == 0:
+                    continue
+                doc_wh = wh[o : o + ln]
+                for m, bset in bsets.items():
+                    if ln < m:
+                        continue
+                    doc_grams = _rolling_shingles(doc_wh, m)
+                    idx = np.searchsorted(bset, doc_grams)
+                    idx[idx == len(bset)] = 0
+                    if (bset[idx] == doc_grams).any():
+                        flags[i] = True
+                        break
+        return pa.table(
+            {id_col: b[id_col], out: pa.array(flags)}
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

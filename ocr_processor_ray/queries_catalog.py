@@ -1488,6 +1488,100 @@ def q_docs_top_words(sf_dir: str):
     return global_topk(counts, "n", 20, "word")
 
 
+def q_docs_oov_rate(sf_dir: str):
+    """Vocabulary-based quality signal (unigram-LM shape, integer-exact):
+    per-doc out-of-vocabulary token counts against the corpus' own
+    top-1000 vocabulary. Two passes: (1) word explode → two-phase hash
+    count → ``global_topk`` picks the vocabulary (count desc, word asc —
+    a total order, so the cut is engine-independent); (2) the tiny vocab
+    broadcasts via the task closure and each batch counts members with
+    one hash-probe ``pc.is_in`` + per-doc ``reduceat``. All compared
+    columns are integers, so the oracle is exact. Docs with zero tokens
+    are dropped on both sides (the SQL's unnest produces no rows)."""
+    from ocr_processor_ray.functions.agg import global_topk
+
+    V = 1000
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
+        words = words.filter(pc.not_equal(words, ""))
+        return pa.table({"word": words})
+
+    words = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    counts = two_phase_agg(words, ["word"], [("word", "count", "n")])
+    vocab = global_topk(counts, "n", V, "word")["word"].combine_chunks()
+
+    def score(b: pa.Table) -> pa.Table:
+        words_list = pc.utf8_split_whitespace(b["text"])
+        lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words_list)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        member = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
+        oov = (nonempty & ~member).astype(np.int64)
+        tok = nonempty.astype(np.int64)
+        offs = np.zeros(len(lens), dtype=np.intp)
+        np.cumsum(lens[:-1], out=offs[1:])
+        valid = offs < len(flat)
+        n_tok = np.zeros(len(lens), dtype=np.int64)
+        n_oov = np.zeros(len(lens), dtype=np.int64)
+        if valid.any() and len(flat):
+            n_tok[valid] = np.add.reduceat(tok, offs[valid])
+            n_oov[valid] = np.add.reduceat(oov, offs[valid])
+        n_tok[lens == 0] = 0
+        n_oov[lens == 0] = 0
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+            }
+        )
+        return t.filter(pc.greater(t["n_tokens"], 0))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ann_topk_per_label(sf_dir: str):
+    """Class-conditional retrieval: top-5 cosine neighbors of vec_id=0
+    WITHIN each label (per-class nearest examples — the grouped variant
+    of ann_topk). Per-batch matmul produces (label, vec_id, sim) rows;
+    ``grouped_topk`` keeps each batch's local top-5 per label so the
+    combine sees ≤ #blocks × #labels × 5 rows — no shuffle of the
+    embedding column, no per-label Ray groups. Output integers only
+    (label, rank, vec_id); rank order is deterministic for the same
+    gap-exceeds-float-noise reason as ann_topk."""
+    from ocr_processor_ray.functions.agg import grouped_topk
+    from ocr_processor_ray.functions.similarity import _batch_matrix, _normalize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qn = _normalize(_query_vec(sf_dir).astype(np.float64).reshape(1, -1))[0]
+
+    def sims(b: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(b, "embedding").astype(np.float64))
+        return pa.table(
+            {
+                "label": b["label"],
+                "vec_id": b["vec_id"],
+                "sim": pa.array(m @ qn),
+            }
+        )
+
+    cands = ds.map_batches(sims, batch_format="pyarrow", zero_copy_batch=True)
+    top = grouped_topk(cands, "label", "sim", k=5, tiebreak="vec_id")
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "label": b["label"],
+                "rank": pc.cast(b["rank"], pa.int64()),
+                "vec_id": b["vec_id"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_word_postings(sf_dir: str):
     """Inverted-index build for frequent terms: explode (word, doc_id)
     pairs, distinct them with a two-phase hash agg, df-filter the
@@ -2064,6 +2158,8 @@ QUERIES = {
     "doc_dup_lines": q_doc_dup_lines,
     "doc_compression_ratio": q_doc_compression_ratio,
     "docs_top_words": q_docs_top_words,
+    "docs_oov_rate": q_docs_oov_rate,
+    "ann_topk_per_label": q_ann_topk_per_label,
     "word_postings": q_word_postings,
     "doc_top_terms": q_doc_top_terms,
     "signup_conversion_7d": q_signup_conversion_7d,
@@ -2501,6 +2597,34 @@ FROM c
             GROUP BY word
         ) ORDER BY n DESC, word ASC LIMIT 20
     """,
+    "docs_oov_rate": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+            FROM documents
+        ), vocab AS (
+            SELECT word FROM (
+                SELECT word, count(*) AS n FROM toks GROUP BY word
+                ORDER BY n DESC, word ASC LIMIT 1000
+            )
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (
+                   WHERE word NOT IN (SELECT word FROM vocab)
+               ) AS BIGINT) AS n_oov
+        FROM toks GROUP BY doc_id
+    """,
+    "ann_topk_per_label": """
+        SELECT label, CAST(rank AS BIGINT) AS rank, vec_id FROM (
+            SELECT e.label, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY e.label
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ) WHERE rank <= 5
+    """,
     "docs_stratified_sample": """
         SELECT lang, rank, doc_id FROM (
             SELECT lang, doc_id,
@@ -2611,6 +2735,42 @@ def q_docs_decontaminate(sf_dir: str):
     return flag_contaminated(ds, sorted(snippets))
 
 
+def q_docs_decontaminate_13gram(sf_dir: str):
+    """Decontamination by the GPT-3 13-GRAM-OVERLAP rule (the sibling of
+    ``docs_decontaminate``'s exact-substring rule): a doc is flagged if
+    it shares any 13-gram with a benchmark snippet — catches partial
+    quotes and reformatted eval content substring matching misses. Same
+    bounded donor list (word-aligned 20-word snippets this time);
+    rows-only driver check (rolling n-gram windows are not reasonably
+    SQL-expressible) + planted-overlap pytest."""
+    from ocr_processor_ray.functions.text import flag_contaminated_ngrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def donors(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (ids % _DECON_MOD == 0) & (ids < _DECON_MAX_ID)
+        t = b.filter(pa.array(keep))
+        snips = [
+            " ".join(s.split()[5:25]) for s in t["text"].to_pylist()
+        ]
+        # explicit bool type: an empty batch would otherwise build a
+        # null-typed array that filter() rejects
+        keep2 = pa.array([len(s.split()) >= 13 for s in snips], pa.bool_())
+        return pa.table(
+            {
+                "snippet": pa.array(snips, pa.string()).filter(keep2),
+            }
+        )
+
+    snippets = []
+    for b in ds.map_batches(
+        donors, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=256, batch_format="pyarrow"):
+        snippets.extend(b["snippet"].to_pylist())
+    return flag_contaminated_ngrams(ds, sorted(snippets), n=13)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Exact dedup keeping the highest-quality duplicate (max n_chars,
     ties → min doc_id) via the packed-key argmax aggregate."""
@@ -2681,6 +2841,7 @@ def q_conversation_line_dedup(sf_dir: str):
 QUERIES.update(
     {
         "docs_decontaminate": q_docs_decontaminate,
+        "docs_decontaminate_13gram": q_docs_decontaminate_13gram,
         "dedup_keep_best": q_dedup_keep_best,
         "docs_source_cap": q_docs_source_cap,
         "conversation_line_dedup": q_conversation_line_dedup,

@@ -1278,3 +1278,66 @@ class TestAudioVideoSeams:
             out = FrameSample(n_frames=4, fake=False)(t)
             assert out.num_rows == 4
             assert all(p.startswith(b"\xff\xd8") for p in out["frame"].to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramDecontamination:
+    def test_flags_13gram_overlap_but_not_substring_only(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.text import flag_contaminated_ngrams
+
+        bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november"
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    # shares a full 13-gram (reformatted whitespace — the
+                    # substring rule would MISS this)
+                    "prefix words then alpha  bravo charlie\tdelta echo foxtrot golf hotel india juliett kilo lima mike and more",
+                    # shares only 12 consecutive words — below the rule
+                    "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima DIFFERENT tail",
+                    "completely unrelated text about nothing at all",
+                    "",  # empty doc
+                ],
+            }
+        )
+        out = (
+            flag_contaminated_ngrams(rd.from_pandas(docs), [bench], n=13)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["contaminated"].tolist() == [True, False, False, False]
+
+    def test_short_snippet_matches_verbatim_inclusion(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.text import flag_contaminated_ngrams
+
+        out = (
+            flag_contaminated_ngrams(
+                rd.from_pandas(
+                    pd.DataFrame(
+                        {"doc_id": [0, 1], "text": ["x short eval y", "short evalx"]}
+                    )
+                ),
+                ["short eval"],
+                n=13,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        # snippet < n words folds to one full-window gram: doc 0 has the
+        # 2-word window verbatim, doc 1 only a substring-not-window
+        assert out["contaminated"].tolist() == [True, False]
+
+    def test_blank_snippet_refused(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.text import flag_contaminated_ngrams
+
+        with pytest.raises(ValueError):
+            flag_contaminated_ngrams(
+                rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x"]})),
+                ["  "],
+            )
