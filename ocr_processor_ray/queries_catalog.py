@@ -1542,6 +1542,70 @@ def q_docs_oov_rate(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_dedup_exact_by_lang(sf_dir: str):
+    """KEYED exact dedup: duplicates collapse only within a language
+    (the partitioned-dedup composition a multilingual corpus needs —
+    the same text in two languages' shards stays in both). Same
+    two-phase hash aggregate as ``dedup_exact``, with (lang, h) as the
+    group key; exchange volume unchanged (one hash row per doc)."""
+    from ocr_processor_ray.functions.dedup import add_md5
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    hashed = ds.map_batches(
+        lambda t: add_md5(t, "text").select(["lang", "h", "doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return two_phase_agg(
+        hashed, ["lang", "h"], [("doc_id", "min", "doc_id"), ("doc_id", "count", "n")]
+    )
+
+
+def q_doc_bigram_repetition(sf_dir: str):
+    """Gopher-style repetition signal: per-doc bigram count vs DISTINCT
+    bigram count (boilerplate/spam shows low distinct ratios). One
+    vectorized pass per batch: one ``stable_hash_array`` over the
+    batch's token stream, rolling 2-gram polynomial hashes masked at
+    doc boundaries, distinct-per-doc via one lexsort + boundary count —
+    no per-doc Python loops, nothing leaves the task but two ints per
+    doc. Docs with <2 words drop on both sides (the SQL's bigram join
+    produces no rows). Exact integer oracle (the 64-bit in-doc bigram
+    hash collides with probability ~(words/doc)²/2⁶⁵ — negligible)."""
+    from ocr_processor_ray.functions.dedup import _SHINGLE_MUL, _word_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        words_per = [t.split() for t in b["text"].to_pylist()]
+        n = len(words_per)
+        lens = np.array([len(w) for w in words_per], dtype=np.int64)
+        flat = [w for ws in words_per for w in ws]
+        n_bg = np.maximum(lens - 1, 0)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        if flat:
+            wh = _word_hashes(flat)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            same = doc_idx[:-1] == doc_idx[1:]
+            bg = (wh[:-1] * _SHINGLE_MUL + wh[1:])[same]
+            d = doc_idx[:-1][same]
+            if len(bg):
+                order = np.lexsort((bg, d))
+                db, bgb = d[order], bg[order]
+                new = np.ones(len(db), dtype=bool)
+                new[1:] = (db[1:] != db[:-1]) | (bgb[1:] != bgb[:-1])
+                n_distinct = np.bincount(db[new], minlength=n).astype(np.int64)
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": pa.array(n_bg, pa.int64()),
+                "n_distinct_bigrams": pa.array(n_distinct, pa.int64()),
+            }
+        )
+        return t.filter(pc.greater(t["n_bigrams"], 0))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_ann_topk_per_label(sf_dir: str):
     """Class-conditional retrieval: top-5 cosine neighbors of vec_id=0
     WITHIN each label (per-class nearest examples — the grouped variant
@@ -2160,6 +2224,8 @@ QUERIES = {
     "docs_top_words": q_docs_top_words,
     "docs_oov_rate": q_docs_oov_rate,
     "ann_topk_per_label": q_ann_topk_per_label,
+    "doc_bigram_repetition": q_doc_bigram_repetition,
+    "dedup_exact_by_lang": q_dedup_exact_by_lang,
     "word_postings": q_word_postings,
     "doc_top_terms": q_doc_top_terms,
     "signup_conversion_7d": q_signup_conversion_7d,
@@ -2613,6 +2679,26 @@ FROM c
                    WHERE word NOT IN (SELECT word FROM vocab)
                ) AS BIGINT) AS n_oov
         FROM toks GROUP BY doc_id
+    """,
+    "dedup_exact_by_lang": """
+        SELECT lang, md5(text) AS h, min(doc_id) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, md5(text)
+    """,
+    "doc_bigram_repetition": """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '\\S+')) AS word,
+                   generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+            FROM documents
+        ), bg AS (
+            SELECT a.doc_id, a.word || chr(10) || b.word AS bg
+            FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams
+        FROM bg GROUP BY doc_id
     """,
     "ann_topk_per_label": """
         SELECT label, CAST(rank AS BIGINT) AS rank, vec_id FROM (

@@ -1341,3 +1341,39 @@ class TestNgramDecontamination:
                 rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x"]})),
                 ["  "],
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadBlockSizing:
+    def test_relational_reads_are_bytes_driven(self):
+        import os
+
+        from ocr_processor_ray.queries_catalog import (
+            _BYTES_DRIVEN_TABLES,
+            _TARGET_READ_BLOCK_BYTES,
+            _read,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        ds = _read(sf, "orders", ["o_orderkey"])
+        expected = max(
+            1,
+            min(
+                512,
+                os.path.getsize(f"{sf}/orders.parquet")
+                // _TARGET_READ_BLOCK_BYTES,
+            ),
+        )
+        # tiny file → a handful of blocks, not 2×CPU-count splinters
+        assert ds.count() > 0
+        assert expected <= 4
+        assert "documents" not in _BYTES_DRIVEN_TABLES  # compute-bound
+        assert "embeddings" not in _BYTES_DRIVEN_TABLES
+
+    def test_documents_read_keeps_parallel_split(self):
+        from ocr_processor_ray.queries_catalog import _read
+
+        # compute-heavy tables keep Ray's CPU-driven split: block count
+        # must exceed what 1 MB/block would give for a 600 KB file
+        ds = _read("/root/testdata/sf0.001", "documents", ["doc_id"])
+        assert ds.materialize().num_blocks() > 1
