@@ -297,12 +297,15 @@ def bucketed_join(
 
     Exchange volume = both inputs exactly once, keyed by
     ``hash(key) % num_buckets`` (int or string keys).
-    ``how`` ∈ {"inner", "left", "anti", "semi"} — "anti" keeps left rows
-    with NO match (the big-big anti-join the resume skip uses at
-    partition granularity, here at row granularity); "semi" keeps left
-    rows WITH a match, without duplicating them per match (EXISTS).
+    ``how`` ∈ {"inner", "left", "outer", "anti", "semi"} — "anti" keeps
+    left rows with NO match (the big-big anti-join the resume skip uses
+    at partition granularity, here at row granularity); "semi" keeps
+    left rows WITH a match, without duplicating them per match (EXISTS);
+    "outer" is a FULL OUTER join (correct under bucketing because every
+    row of a key — from either side — hashes to the same bucket, so a
+    key unmatched globally is unmatched in its bucket too).
     """
-    if how not in ("inner", "left", "anti", "semi"):
+    if how not in ("inner", "left", "outer", "anti", "semi"):
         raise ValueError(f"unsupported how={how!r}")
     both, l_cols, r_cols, l_types, r_types = _tagged_bucket_union(
         left, right, on, num_buckets, l_schema, r_schema

@@ -1646,6 +1646,226 @@ def q_ann_topk_per_label(sf_dir: str):
     )
 
 
+def q_word_df_en_vs_fr(sf_dir: str):
+    """FULL OUTER join over a high-cardinality key: per-word document
+    frequency among English docs vs among French docs (the contrastive
+    vocabulary comparison a multilingual mix audit needs — words unique
+    to either side are guaranteed, exercising both unmatched sides).
+    Distinct (doc, word) pairs are computed PER BATCH (a doc's words all
+    live in its own row, so in-batch dedup IS global dedup — zero
+    shuffle), each side collapses to a vocab-sized df table via the
+    two-phase hash agg, and the outer join runs bucketed on the word
+    hash — exchange volume = the two df tables once, never the pairs."""
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def df_for(lang: str, out: str):
+        def explode(b: pa.Table) -> pa.Table:
+            sub = b.filter(pc.equal(b["lang"], lang))
+            words_list = pc.utf8_split_whitespace(sub["text"])
+            lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(words_list)
+            ids = np.repeat(
+                sub["doc_id"].to_numpy(zero_copy_only=False), lens
+            )
+            t = pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "word": flat}
+            ).filter(pc.not_equal(flat, ""))
+            return pa.Table.from_pandas(
+                t.to_pandas().drop_duplicates(), preserve_index=False
+            )
+
+        pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        return two_phase_agg(pairs, ["word"], [("doc_id", "count", out)])
+
+    joined = bucketed_join(
+        df_for("en", "df_en"), df_for("fr", "df_fr"), on="word", how="outer"
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": b["word"],
+                "df_en": pc.fill_null(b["df_en"], 0),
+                "df_fr": pc.fill_null(b["df_fr"], 0),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_rollup(sf_dir: str):
+    """ROLLUP aggregate: (event_type, day) → (event_type) → grand total
+    in one result, the subtotal report shape BI exports need. One
+    streaming two-phase hash agg produces the FINEST level only (the
+    one corpus-sized pass); the coarser levels are re-aggregations of
+    that already-tiny table (|types| × |days| rows), so rolling up adds
+    zero exchange volume. Sentinel '__all__' marks rolled-up levels
+    (matching the oracle's COALESCE over GROUP BY ROLLUP nulls); sums
+    are exact int64 cents, descaled once at the end."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(b["ts"], unit="day"), format="%Y-%m-%d")
+        t = pa.table({"event_type": b["event_type"], "day": day})
+        return _scaled_sum_col(t, b["value"], 100, "value_c")
+
+    base = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    fine = _t(
+        two_phase_agg(
+            base,
+            ["event_type", "day"],
+            [("value_c", "count", "n"), ("value_c", "sum", "sum_value")],
+        )
+    )
+    sentinel = "__all__"
+
+    def reagg(t: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = t.group_by(keys).aggregate([("n", "sum"), ("sum_value", "sum")])
+            cols = {k: g[k] for k in keys}
+        else:
+            g = pa.table(
+                {
+                    "n_sum": [pc.sum(t["n"]).as_py() or 0],
+                    "sum_value_sum": [pc.sum(t["sum_value"]).as_py() or 0],
+                }
+            )
+            cols = {}
+        for miss in ("event_type", "day"):
+            if miss not in keys:
+                cols[miss] = pa.array([sentinel] * g.num_rows, pa.string())
+        cols["n"] = g["n_sum"]
+        cols["sum_value"] = pc.cast(g["sum_value_sum"], pa.int64())
+        return pa.table(
+            {c: cols[c] for c in ("event_type", "day", "n", "sum_value")}
+        )
+
+    out = pa.concat_tables(
+        [
+            fine.select(["event_type", "day", "n", "sum_value"]),
+            reagg(fine, ["event_type"]),
+            reagg(fine, []),
+        ]
+    )
+    return _descale(out, "sum_value", 100)
+
+
+def q_docs_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10) by md5 bucket
+    of the doc id — the split step every training-corpus build ends
+    with: reproducible across engines and re-runs (no RNG state), pure
+    per-row map (zero shuffle), and stable under corpus growth (a doc's
+    split never changes when other docs arrive)."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        splits = []
+        for i in b["doc_id"].to_pylist():
+            x = int(_hl.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+            splits.append("train" if x < 80 else "val" if x < 90 else "test")
+        return pa.table({"doc_id": b["doc_id"], "split": pa.array(splits, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_user_deltas(sf_dir: str):
+    """LAG window: per-user inter-event gap in microseconds (the
+    dwell-time / cadence feature sessionization and bot detection both
+    start from). Timestamps ride the exchange as int64 µs; the ordered
+    scan runs inside coarse user-hash buckets (``bucketed_map_groups``
+    — all of a user's rows co-locate, no per-user Ray groups), sorted
+    by (ts, event_id) so ties are deterministic. Only (event_id,
+    delta_us) leave the task; first-event rows drop on both sides."""
+    from ocr_processor_ray.functions.relational import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+
+    def deltas(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        d = g["ts_us"].diff()
+        keep = d.notna()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"][keep].to_numpy(),
+                "delta_us": d[keep].astype(np.int64).to_numpy(),
+            }
+        )
+
+    return bucketed_map_groups(ds, "user_id", deltas)
+
+
+def q_docs_token_familiarity(sf_dir: str):
+    """Unigram-LM-shaped quality score, integer-exact: per-doc sum of
+    the corpus-wide counts of each token, restricted to the top-1000
+    vocabulary (out-of-vocab tokens contribute 0) — high familiarity =
+    common language, low = gibberish/rare-token soup. Pass 1 builds the
+    vocabulary WITH counts (two-phase hash agg + ``global_topk`` under
+    a total order, so the cut is engine-independent); pass 2 broadcasts
+    the tiny (word, count) table in the task closure and scores each
+    batch with one ``index_in`` probe + per-doc ``reduceat`` — all
+    integers, so the oracle comparison is exact."""
+    from ocr_processor_ray.functions.agg import global_topk
+
+    V = 1000
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
+        words = words.filter(pc.not_equal(words, ""))
+        return pa.table({"word": words})
+
+    words = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    counts = two_phase_agg(words, ["word"], [("word", "count", "n")])
+    vt = global_topk(counts, "n", V, "word")
+    vocab = vt["word"].combine_chunks()
+    vocab_n = vt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        words_list = pc.utf8_split_whitespace(b["text"])
+        lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words_list)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=vocab).fill_null(-1)
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = np.where(idx >= 0, vocab_n[np.clip(idx, 0, None)], 0)
+        tok = nonempty.astype(np.int64)
+        offs = np.zeros(len(lens), dtype=np.intp)
+        np.cumsum(lens[:-1], out=offs[1:])
+        valid = offs < len(flat)
+        n_tok = np.zeros(len(lens), dtype=np.int64)
+        fam = np.zeros(len(lens), dtype=np.int64)
+        if valid.any() and len(flat):
+            n_tok[valid] = np.add.reduceat(tok, offs[valid])
+            fam[valid] = np.add.reduceat(contrib, offs[valid])
+        n_tok[lens == 0] = 0
+        fam[lens == 0] = 0
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "familiarity": pa.array(fam, pa.int64()),
+            }
+        )
+        return t.filter(pc.greater(t["n_tokens"], 0))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_word_postings(sf_dir: str):
     """Inverted-index build for frequent terms: explode (word, doc_id)
     pairs, distinct them with a two-phase hash agg, df-filter the
@@ -2226,6 +2446,11 @@ QUERIES = {
     "ann_topk_per_label": q_ann_topk_per_label,
     "doc_bigram_repetition": q_doc_bigram_repetition,
     "dedup_exact_by_lang": q_dedup_exact_by_lang,
+    "word_df_en_vs_fr": q_word_df_en_vs_fr,
+    "events_rollup": q_events_rollup,
+    "docs_split_assign": q_docs_split_assign,
+    "events_user_deltas": q_events_user_deltas,
+    "docs_token_familiarity": q_docs_token_familiarity,
     "word_postings": q_word_postings,
     "doc_top_terms": q_doc_top_terms,
     "signup_conversion_7d": q_signup_conversion_7d,
@@ -2684,6 +2909,75 @@ FROM c
         SELECT lang, md5(text) AS h, min(doc_id) AS doc_id,
                CAST(count(*) AS BIGINT) AS n
         FROM documents GROUP BY lang, md5(text)
+    """,
+    "word_df_en_vs_fr": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_extract_all(text, '\\S+')) AS word
+            FROM documents WHERE lang IN ('en', 'fr')
+        ), pairs AS (
+            SELECT DISTINCT doc_id, lang, word FROM toks
+        ), e AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS df_en
+            FROM pairs WHERE lang = 'en' GROUP BY word
+        ), f AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS df_fr
+            FROM pairs WHERE lang = 'fr' GROUP BY word
+        )
+        SELECT COALESCE(e.word, f.word) AS word,
+               COALESCE(df_en, 0) AS df_en,
+               COALESCE(df_fr, 0) AS df_fr
+        FROM e FULL OUTER JOIN f ON e.word = f.word
+    """,
+    "events_rollup": """
+        SELECT COALESCE(event_type, '__all__') AS event_type,
+               COALESCE(day, '__all__') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   value
+            FROM events
+        )
+        GROUP BY ROLLUP(event_type, day)
+    """,
+    "docs_split_assign": """
+        SELECT doc_id,
+               CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INTEGER) % 100 < 80 THEN 'train'
+                    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INTEGER) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "events_user_deltas": """
+        SELECT event_id, CAST(delta_us AS BIGINT) AS delta_us
+        FROM (
+            SELECT event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS delta_us
+            FROM events
+        )
+        WHERE delta_us IS NOT NULL
+    """,
+    "docs_token_familiarity": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+            FROM documents
+        ), vocab AS (
+            SELECT word, n FROM (
+                SELECT word, CAST(count(*) AS BIGINT) AS n
+                FROM toks GROUP BY word
+                ORDER BY n DESC, word ASC LIMIT 1000
+            )
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sum(v.n), 0) AS BIGINT) AS familiarity
+        FROM toks t LEFT JOIN vocab v USING (word)
+        GROUP BY t.doc_id
     """,
     "doc_bigram_repetition": """
         WITH w AS (

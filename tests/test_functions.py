@@ -330,6 +330,38 @@ class TestJoins:
             check_dtype=False,
         )
 
+    def test_bucketed_outer_join_keeps_both_unmatched_sides(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import bucketed_join
+
+        # keys 0-29 left-only overlap 20-49 right-only: 20 matched,
+        # 10 unmatched on each side
+        left = pd.DataFrame({"k": range(30), "a": range(30)})
+        right = pd.DataFrame({"k": range(20, 50), "b": range(30)})
+        got = (
+            bucketed_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                on="k",
+                num_buckets=4,
+                how="outer",
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = left.merge(right, on="k", how="outer").sort_values(
+            "k", ignore_index=True
+        )
+        assert len(got) == 50
+        assert got["b"].isna().sum() == 20  # left-only rows
+        assert got["a"].isna().sum() == 20  # right-only rows
+        pd.testing.assert_frame_equal(
+            got[["k", "a", "b"]].astype("float64"),
+            want.astype("float64"),
+            check_dtype=False,
+        )
+
     def test_asof_join_preserves_int_dtypes_with_unmatched_rows(self):
         import ray.data as rd
 
