@@ -68,6 +68,17 @@ BENCH_QUERIES = [
     "docs_decontaminate_13gram",
     "docs_oov_rate",
     "ann_topk_per_label",
+    "dedup_exact_by_lang",
+    "doc_bigram_repetition",
+    "docs_split_assign",
+    "events_rollup",
+    "user_event_pivot",
+    "events_value_histogram",
+    "user_retention_cohorts",
+    "events_user_deltas",
+    "docs_pii_scrub",
+    "docs_token_familiarity",
+    "word_df_en_vs_fr",
     "dedup_keep_best",
     "docs_source_cap",
     "doc_quality_gate",

@@ -763,7 +763,11 @@ def batch_simhash64(texts: list[str]) -> np.ndarray:
     )
     # u - 2^63 without overflow: flip the top bit, reinterpret as int64
     out = (u ^ np.uint64(1 << 63)).view(np.int64)
-    assert total == len(codes)
+    if total != len(codes):  # loud even under python -O, like reassemble
+        raise ValueError(
+            f"batch_simhash64 bookkeeping drift: consumed {total} tokens "
+            f"of {len(codes)}"
+        )
     return out
 
 

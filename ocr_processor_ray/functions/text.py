@@ -327,3 +327,42 @@ def flag_contaminated_ngrams(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# One source of truth for both the Arrow kernel and the DuckDB oracle:
+# the catalog's ORACLE_SQL interpolates these exact patterns, so the
+# comparison is engine-vs-engine on IDENTICAL RE2 regexes (pyarrow's
+# replace_substring_regex and DuckDB's regexp_replace are both RE2).
+# Order matters (email before phone: a phone pattern must never eat the
+# digits of an already-matched host); counts are taken on the
+# progressively scrubbed text, mirrored by the oracle's CTE chain.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"(\+\d{1,2}[\s.-])?(\(\d{3}\)|\d{3})[\s.-]\d{3}[\s.-]\d{4}",
+        "<PHONE>",
+    ),
+]
+
+
+def scrub_pii(
+    batch: pa.Table, column: str = "text", count_col: str = "n_pii"
+) -> pa.Table:
+    """Redact emails, IPv4s and phone numbers in ``column`` in place and
+    append an int64 redaction count — the pre-training privacy pass.
+    Pure vectorized RE2 over the batch (one count + one replace per
+    pattern); no Python per-row loop."""
+    cur = batch[column]
+    total = None
+    for _, pat, tok in PII_PATTERNS:
+        c = pc.count_substring_regex(cur, pattern=pat)
+        total = c if total is None else pc.add(total, c)
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=tok)
+    batch = batch.set_column(
+        batch.schema.get_field_index(column), column, cur
+    )
+    return batch.append_column(count_col, pc.cast(total, pa.int64()))

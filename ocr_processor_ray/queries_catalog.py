@@ -1866,6 +1866,93 @@ def q_docs_token_familiarity(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_docs_pii_scrub(sf_dir: str):
+    """Pre-training privacy pass: redact emails / IPv4s / phone numbers
+    and count redactions per doc. One vectorized RE2 count + replace per
+    pattern per batch (``text.scrub_pii``); the oracle interpolates the
+    SAME pattern constants into a DuckDB ``regexp_replace`` CTE chain,
+    so the scrubbed text itself is hash-compared engine-vs-engine (both
+    are RE2). Zero shuffle; the planted-PII parity test lives in
+    tests/test_functions.py (the synthetic docs table contains no PII,
+    so this query also pins the no-false-positive property)."""
+    from ocr_processor_ray.functions.text import scrub_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(scrub_pii, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_event_pivot(sf_dir: str):
+    """PIVOT: one row per user with a count column per event type (the
+    wide feature table a per-user model consumes). Widening happens in
+    the map phase (one boolean→int64 cast per type, no row explosion),
+    then a single two-phase hash agg sums the indicator columns — same
+    exchange volume as a plain per-user count, regardless of how many
+    pivot columns there are."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols: dict = {"user_id": b["user_id"]}
+        for t in PIVOT_EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(b["event_type"], t), pa.int64())
+        return pa.table(cols)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_agg(
+        wide,
+        ["user_id"],
+        [(f"n_{t}", "sum", f"n_{t}") for t in PIVOT_EVENT_TYPES],
+    )
+
+
+def q_events_value_histogram(sf_dir: str):
+    """Fixed-width histogram (bin = floor(value/5)): the distribution
+    profile every data-quality dashboard starts with. Bin assignment is
+    one vectorized divide+floor per batch; the result is one tiny hash
+    agg — the full value column never leaves the map tasks. Both engines
+    compute the bin with the same IEEE double ops, so membership is
+    exact."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def binify(b: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(b["value"], 5.0)), pa.int64())
+        return pa.table({"bin": bins})
+
+    binned = ds.map_batches(binify, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_agg(binned, ["bin"], [("bin", "count", "n")])
+
+
+def q_user_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by their FIRST active week
+    (cohort), counted in every week they return — the growth-analytics
+    staple. Shape: distinct (user, week) pairs via one two-phase hash
+    agg (weeks/user is small, so this collapses early), per-user cohort
+    = min(week) via a second tiny agg, a bucketed join on user_id glues
+    them (both sides are per-user aggregates, never raw events), and the
+    final (cohort_week, week) count is again hash-agg'd. No raw event
+    row crosses more than the first exchange."""
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def weeks(b: pa.Table) -> pa.Table:
+        wk = pc.strftime(pc.floor_temporal(b["ts"], unit="week"), format="%Y-%m-%d")
+        return pa.table({"user_id": b["user_id"], "week": wk})
+
+    wk = ds.map_batches(weeks, batch_format="pyarrow", zero_copy_batch=True)
+    uw = two_phase_agg(wk, ["user_id", "week"], [("week", "count", "_n")])
+    uw = uw.map_batches(
+        lambda b: b.drop_columns(["_n"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    cohort = two_phase_agg(wk, ["user_id"], [("week", "min", "cohort_week")])
+    joined = bucketed_join(uw, cohort, on="user_id", num_buckets=32)
+    return two_phase_agg(
+        joined, ["cohort_week", "week"], [("week", "count", "n_users")]
+    )
+
+
 def q_word_postings(sf_dir: str):
     """Inverted-index build for frequent terms: explode (word, doc_id)
     pairs, distinct them with a two-phase hash agg, df-filter the
@@ -2447,6 +2534,10 @@ QUERIES = {
     "doc_bigram_repetition": q_doc_bigram_repetition,
     "dedup_exact_by_lang": q_dedup_exact_by_lang,
     "word_df_en_vs_fr": q_word_df_en_vs_fr,
+    "docs_pii_scrub": q_docs_pii_scrub,
+    "user_event_pivot": q_user_event_pivot,
+    "events_value_histogram": q_events_value_histogram,
+    "user_retention_cohorts": q_user_retention_cohorts,
     "events_rollup": q_events_rollup,
     "docs_split_assign": q_docs_split_assign,
     "events_user_deltas": q_events_user_deltas,
@@ -2929,6 +3020,32 @@ FROM c
                COALESCE(df_fr, 0) AS df_fr
         FROM e FULL OUTER JOIN f ON e.word = f.word
     """,
+    "user_event_pivot": """
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "events_value_histogram": """
+        SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY bin
+    """,
+    "user_retention_cohorts": """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+            FROM events
+        ), coh AS (
+            SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+        )
+        SELECT cohort_week, week, CAST(count(*) AS BIGINT) AS n_users
+        FROM uw JOIN coh USING (user_id)
+        GROUP BY cohort_week, week
+    """,
     "events_rollup": """
         SELECT COALESCE(event_type, '__all__') AS event_type,
                COALESCE(day, '__all__') AS day,
@@ -3016,6 +3133,34 @@ FROM c
         ) WHERE rank <= 5
     """,
 }
+
+# --- PII scrub oracle -------------------------------------------------------
+# Built from text.PII_PATTERNS — the SAME RE2 strings the Arrow kernel
+# runs, so the scrubbed text is compared engine-vs-engine (DuckDB's
+# regexp_replace is RE2 too). The CTE chain mirrors the kernel's
+# sequential order and counts on the progressively scrubbed text.
+# Concatenation, not f-string: the patterns contain literal braces.
+def _pii_oracle_sql() -> str:
+    from ocr_processor_ray.functions.text import PII_PATTERNS
+
+    sql = "WITH s0 AS (SELECT doc_id, text AS t0 FROM documents)"
+    for i, (_, pat, tok) in enumerate(PII_PATTERNS):
+        sql += (
+            f", s{i + 1} AS (SELECT doc_id, "
+            + f"regexp_replace(t{i}, '" + pat + "', '" + tok + "', 'g') AS t" + str(i + 1)
+            + f", len(regexp_extract_all(t{i}, '" + pat + f"')) AS c{i + 1}"
+            + (", " + ", ".join(f"c{j + 1}" for j in range(i)) if i else "")
+            + f" FROM s{i})"
+        )
+    n = len(PII_PATTERNS)
+    total = " + ".join(f"c{j + 1}" for j in range(n))
+    sql += (
+        f" SELECT doc_id, t{n} AS text, CAST({total} AS BIGINT) AS n_pii FROM s{n}"
+    )
+    return sql
+
+
+ORACLE_SQL["docs_pii_scrub"] = _pii_oracle_sql()
 
 # --- flagship oracle rows -------------------------------------------------
 # The flagship extraction itself is not SQL-expressible, but these

@@ -1409,3 +1409,59 @@ class TestReadBlockSizing:
         # must exceed what 1 MB/block would give for a 600 KB file
         ds = _read("/root/testdata/sf0.001", "documents", ["doc_id"])
         assert ds.materialize().num_blocks() > 1
+
+
+class TestPiiScrub:
+    """scrub_pii vs the SAME RE2 chain in DuckDB on planted PII — the
+    catalog query's oracle runs over PII-free synthetic docs, so the
+    with-matches parity lives here."""
+
+    def test_planted_pii_matches_duckdb_oracle(self):
+        import duckdb
+
+        from ocr_processor_ray.functions.text import scrub_pii
+        from ocr_processor_ray.queries_catalog import ORACLE_SQL
+
+        planted = pa.table(
+            {
+                "doc_id": list(range(6)),
+                "text": [
+                    "reach a.b-c_d@ex-ample.org or x@y.io now",
+                    "server at 192.168.0.1 and 8.8.8.8 ping",
+                    "call (555) 123-4567 or +1 555.123.4567 today",
+                    "mixed: z@q.com then 10.0.0.255 then 555-999-0000",
+                    "no pii at all",
+                    "edge a@b.c not-an-email @nope 999.999.999.999",
+                ],
+            }
+        )
+        con = duckdb.connect(config={"threads": 1})
+        con.register("documents", planted)
+        want = (
+            con.sql(ORACLE_SQL["docs_pii_scrub"])
+            .df()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        got = (
+            scrub_pii(planted)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "text", "n_pii"]],
+            want[["doc_id", "text", "n_pii"]],
+            check_dtype=False,
+        )
+        # order sanity: email host digits must never be re-eaten by the
+        # phone/ip passes
+        assert got.loc[3, "text"] == "mixed: <EMAIL> then <IP> then <PHONE>"
+        assert got["n_pii"].tolist() == [2, 2, 2, 3, 0, 1]
+
+    def test_scrub_is_idempotent(self):
+        from ocr_processor_ray.functions.text import scrub_pii
+
+        t = pa.table({"text": ["a@b.co 1.2.3.4 555-123-4567", "plain"]})
+        once = scrub_pii(t)
+        twice = scrub_pii(once.drop_columns(["n_pii"]))
+        assert once["text"].to_pylist() == twice["text"].to_pylist()
+        assert twice["n_pii"].to_pylist() == [0, 0]
