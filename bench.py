@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "user_event_pivot",
     "events_value_histogram",
     "user_retention_cohorts",
+    "events_value_moments",
+    "docs_length_outliers",
     "events_user_deltas",
     "docs_pii_scrub",
     "docs_token_familiarity",

@@ -1953,6 +1953,80 @@ def q_user_retention_cohorts(sf_dir: str):
     )
 
 
+def q_events_value_moments(sf_dir: str):
+    """Exact first+second moments per event type (n, Σcents, Σcents²) —
+    the sufficient statistics for mean/variance/stddev, kept as int64 so
+    the oracle comparison is exact and partials merge associatively
+    (float variance formulas are neither). One streaming hash agg.
+    Range: cents ≤ 5·10⁴ here, so Σcents² stays inside int64 up to
+    ~3.7·10⁹ rows per type; beyond that shard the key (salt) or move to
+    the 128-bit lane pair used by hashing.hash128."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"]})
+        t = _scaled_sum_col(t, b["value"], 100, "value_c")
+        return t.append_column(
+            "value_c_sq", pc.multiply(t["value_c"], t["value_c"])
+        )
+
+    base = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return two_phase_agg(
+        base,
+        ["event_type"],
+        [
+            ("value_c", "count", "n"),
+            ("value_c", "sum", "sum_c"),
+            ("value_c_sq", "sum", "sum_sq_c"),
+        ],
+    )
+
+
+def q_docs_length_outliers(sf_dir: str):
+    """3-sigma outlier flag over document length: every doc flagged by
+    whether n_chars falls outside μ±3σ of the corpus (a flag, not a
+    filter, so the oracle hashes all rows and an outlier-free corpus
+    still compares non-trivially). The moments come from one exact
+    int64 hash agg (KB-size result); μ and σ are then derived with the
+    SAME IEEE double formula the oracle writes out (double(Σx)/n,
+    sqrt(double(Σx²)/n − μ²)), so the bound is bit-identical in both
+    engines and the int-vs-double comparison cannot disagree. The
+    per-row filter broadcasts two floats in the task closure — no
+    second pass over text, no shuffle."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def sq(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                "x": b["n_chars"],
+                "x2": pc.multiply(b["n_chars"], b["n_chars"]),
+            }
+        )
+
+    m = _t(
+        two_phase_agg(
+            ds.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True),
+            ["k"],
+            [("x", "count", "n"), ("x", "sum", "sm"), ("x2", "sum", "sq")],
+        )
+    )
+    n, sm, sqs = m["n"][0].as_py(), m["sm"][0].as_py(), m["sq"][0].as_py()
+    mu = float(sm) / float(n)
+    sigma = math.sqrt(float(sqs) / float(n) - mu * mu)
+    lo, hi = mu - 3.0 * sigma, mu + 3.0 * sigma
+
+    def flag(b: pa.Table) -> pa.Table:
+        out = pc.or_(
+            pc.greater(b["n_chars"], hi), pc.less(b["n_chars"], lo)
+        )
+        return b.append_column("is_outlier", out)
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_word_postings(sf_dir: str):
     """Inverted-index build for frequent terms: explode (word, doc_id)
     pairs, distinct them with a two-phase hash agg, df-filter the
@@ -2538,6 +2612,8 @@ QUERIES = {
     "user_event_pivot": q_user_event_pivot,
     "events_value_histogram": q_events_value_histogram,
     "user_retention_cohorts": q_user_retention_cohorts,
+    "events_value_moments": q_events_value_moments,
+    "docs_length_outliers": q_docs_length_outliers,
     "events_rollup": q_events_rollup,
     "docs_split_assign": q_docs_split_assign,
     "events_user_deltas": q_events_user_deltas,
@@ -3033,6 +3109,35 @@ FROM c
         SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY bin
+    """,
+    "events_value_moments": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS sum_c,
+               CAST(sum(c * c) AS BIGINT) AS sum_sq_c
+        FROM (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        )
+        GROUP BY event_type
+    """,
+    "docs_length_outliers": """
+        WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sm,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS sq
+            FROM documents
+        ), b AS (
+            SELECT CAST(sm AS DOUBLE) / n AS mu,
+                   sqrt(CAST(sq AS DOUBLE) / n
+                        - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)
+                   ) AS sigma
+            FROM s
+        )
+        SELECT doc_id, n_chars,
+               (n_chars > mu + 3.0 * sigma OR n_chars < mu - 3.0 * sigma)
+                   AS is_outlier
+        FROM documents, b
     """,
     "user_retention_cohorts": """
         WITH uw AS (
