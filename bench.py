@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "user_retention_cohorts",
     "events_value_moments",
     "docs_length_outliers",
+    "docs_exact_jaccard_pairs",
     "events_user_deltas",
     "docs_pii_scrub",
     "docs_token_familiarity",

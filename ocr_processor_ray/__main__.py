@@ -44,10 +44,39 @@ def _query_main(argv: list[str]) -> int:
             ray.shutdown()
 
 
+def _compact_main(argv: list[str]) -> int:
+    """``python -m ocr_processor_ray compact <src> <dst> --partitions N``:
+    rewrite a completed output root into fewer partitions (same layout,
+    manifests and atomicity as the original run; resumable)."""
+    p = argparse.ArgumentParser(prog="ocr_processor_ray compact")
+    p.add_argument("src", help="completed output root (part=NNNNN/ layout)")
+    p.add_argument("dst", help="destination root (must differ from src)")
+    p.add_argument("--partitions", type=int, required=True)
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        from ocr_processor_ray.state.compact import compact_output
+
+        summary = compact_output(args.src, args.dst, args.partitions)
+        json.dump(summary, sys.stdout, indent=1, sort_keys=True)
+        print()
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "query":
         return _query_main(argv[1:])
+    if argv and argv[0] == "compact":
+        return _compact_main(argv[1:])
     p = argparse.ArgumentParser(prog="ocr_processor_ray")
     p.add_argument("input", help="transcript file/dir (or comma-separated list)")
     p.add_argument("output", help="output directory (part=NNNNN/ layout)")

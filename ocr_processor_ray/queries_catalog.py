@@ -2027,6 +2027,118 @@ def q_docs_length_outliers(sf_dir: str):
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_docs_exact_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard similarity join (threshold 0.35) via
+    the inverted-index formulation — the oracle-checkable ground truth
+    the LSH families (`minhash_pairs`, `ngram_jaccard_pairs`) trade
+    recall against. Per batch, one vectorized hash pass builds each
+    doc's DISTINCT shingle set (in-batch dedup is global: a doc's words
+    live in its own row); |A∩B| comes from a coarse-bucket group by
+    shingle emitting co-occurring id pairs (np.triu_indices — the
+    quadratic-in-hot-shingle cost is the PROBLEM's lower bound, not an
+    engine artifact; the LSH family is the scale path), |A| from a tiny
+    per-doc count, and the τ filter is all-integer
+    (100·inter ≥ 35·union), so no float crosses the comparison. Shingle
+    identity is the 64-bit polynomial hash (in-corpus collision odds
+    ~(Σ shingles)²/2⁶⁵ — negligible, same argument as
+    doc_bigram_repetition); the oracle joins on the literal 3-gram
+    strings."""
+    from ocr_processor_ray.functions.dedup import _rolling_shingles, _word_hashes
+    from ocr_processor_ray.functions.relational import bucketed_join, bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        words_per = [t.split() for t in b["text"].to_pylist()]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lens = np.array([len(w) for w in words_per], np.int64)
+        flat = [w for ws in words_per for w in ws]
+        out_id, out_sh = [], []
+        if flat:
+            wh = _word_hashes(flat)
+            offs = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            for i in range(len(lens)):
+                if lens[i] < 3:
+                    continue
+                sh = np.unique(
+                    _rolling_shingles(wh[offs[i] : offs[i] + lens[i]], 3)
+                )
+                out_id.append(np.full(len(sh), ids[i], np.int64))
+                out_sh.append(sh.view(np.int64))
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "sh": pa.array(np.concatenate(out_sh)),
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    sizes = two_phase_agg(pairs, ["doc_id"], [("sh", "count", "n_sh")])
+
+    def emit(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+    co = bucketed_map_groups(pairs, "sh", emit)
+    co = co.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    inter = two_phase_agg(co, ["id_a", "id_b"], [("id_a", "count", "inter")])
+    j1 = bucketed_join(
+        inter,
+        sizes.map_batches(
+            lambda t: pa.table({"id_a": t["doc_id"], "n_a": t["n_sh"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on="id_a",
+        num_buckets=32,
+    )
+    j2 = bucketed_join(
+        j1,
+        sizes.map_batches(
+            lambda t: pa.table({"id_b": t["doc_id"], "n_b": t["n_sh"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on="id_b",
+        num_buckets=32,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        un = pc.subtract(pc.add(t["n_a"], t["n_b"]), t["inter"])
+        out = pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "inter": t["inter"],
+                "un": un,
+            }
+        )
+        keep = pc.greater_equal(
+            pc.multiply(out["inter"], pa.scalar(100, pa.int64())),
+            pc.multiply(out["un"], pa.scalar(35, pa.int64())),
+        )
+        return out.filter(keep)
+
+    return j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_word_postings(sf_dir: str):
     """Inverted-index build for frequent terms: explode (word, doc_id)
     pairs, distinct them with a two-phase hash agg, df-filter the
@@ -2614,6 +2726,7 @@ QUERIES = {
     "user_retention_cohorts": q_user_retention_cohorts,
     "events_value_moments": q_events_value_moments,
     "docs_length_outliers": q_docs_length_outliers,
+    "docs_exact_jaccard_pairs": q_docs_exact_jaccard_pairs,
     "events_rollup": q_events_rollup,
     "docs_split_assign": q_docs_split_assign,
     "events_user_deltas": q_events_user_deltas,
@@ -3120,6 +3233,35 @@ FROM c
             FROM events
         )
         GROUP BY event_type
+    """,
+    "docs_exact_jaccard_pairs": """
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '\\S+')) AS word,
+                   generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+            FROM documents
+        ), g AS (
+            SELECT a.doc_id,
+                   a.word || chr(10) || b.word || chr(10) || c.word AS sh
+            FROM w a
+            JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            JOIN w c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+        ), d AS (
+            SELECT DISTINCT doc_id, sh FROM g
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id
+        ), inter AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM d x JOIN d y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT id_a, id_b, inter,
+               CAST(sa.n + sb.n - inter AS BIGINT) AS un
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 100 >= 35 * (sa.n + sb.n - inter)
     """,
     "docs_length_outliers": """
         WITH s AS (

@@ -109,22 +109,10 @@ def run_checkpointed(
     written = summaries.take_all()  # ≤ P tiny rows
 
     # fold counters across ALL completed partitions from their manifests
+    from ocr_processor_ray.state.compact import fold_counters
     from ocr_processor_ray.state.manifest import read_manifests
 
-    total: dict = {}
-    grand = {"turns": 0, "bytes_in": 0, "bytes_out": 0}
-    for m in read_manifests(out_dir):
-        for status, c in m["counters"].items():
-            bucket = total.setdefault(
-                status, {"turns": 0, "bytes_in": 0, "bytes_out": 0}
-            )
-            for k in ("turns", "bytes_in", "bytes_out"):
-                bucket[k] += c[k]
-                grand[k] += c[k]
-            for cat, n in c.get("categories", {}).items():
-                cats = bucket.setdefault("categories", {})
-                cats[cat] = cats.get(cat, 0) + n
-    total["_total"] = grand
+    total = fold_counters(read_manifests(out_dir))
 
     completed_at = time.time()
     summary = {

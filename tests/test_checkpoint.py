@@ -428,3 +428,61 @@ class TestPerformanceReport:
 
         empty = performance_report(root, days=7, now=4.0e12)
         assert "message" in empty
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompaction:
+    def _run(self, transcripts_small, tmp_path, parts):
+        from ocr_processor_ray.config import ExtractConfig
+        from ocr_processor_ray.state.checkpoint import run_checkpointed
+
+        out = str(tmp_path / "out16")
+        s = run_checkpointed(
+            transcripts_small, out, ExtractConfig(num_output_partitions=parts)
+        )
+        return out, s
+
+    def test_compact_preserves_rows_counters_and_layout(
+        self, transcripts_small, tmp_path
+    ):
+        from ocr_processor_ray.state.compact import compact_output
+        from ocr_processor_ray.state.manifest import (
+            completed_partitions,
+            read_manifests,
+            read_output,
+        )
+
+        src, s_src = self._run(transcripts_small, tmp_path, 16)
+        dst = str(tmp_path / "out4")
+        summary = compact_output(src, dst, 4)
+
+        assert summary["partitions_written"] == [0, 1, 2, 3]
+        assert completed_partitions(dst) == {0, 1, 2, 3}
+        a = read_output(src).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        b = read_output(dst).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        assert a.equals(b)  # byte-identical content, fewer partitions
+        assert summary["counters"] == s_src["counters"]
+        # manifests carry the same lineage key and partition sizes sum up
+        ms = read_manifests(dst)
+        assert sum(m["rows"] for m in ms) == a.num_rows
+        assert all(m["lineage"]["key"] == "crc32(conv_id)" for m in ms)
+
+    def test_compact_is_resumable_and_guards_inplace(
+        self, transcripts_small, tmp_path
+    ):
+        import pytest as _pytest
+
+        from ocr_processor_ray.state.compact import compact_output
+
+        src, _ = self._run(transcripts_small, tmp_path, 16)
+        dst = str(tmp_path / "out4")
+        compact_output(src, dst, 4)
+        again = compact_output(src, dst, 4)
+        assert again["partitions_written"] == []  # resume is a no-op
+        assert again["partitions_skipped"] == [0, 1, 2, 3]
+        with _pytest.raises(ValueError):
+            compact_output(src, src, 4)
