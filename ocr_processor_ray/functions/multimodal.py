@@ -433,3 +433,161 @@ def chunk_audio(ds: Dataset, chunk_ms: int = 30_000, overlap_ms: int = 1_000,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------------------ headers
+
+# Real (non-stub) image metadata: container headers carry format and
+# pixel dimensions without any codec — this is genuine parsing, not the
+# deterministic fake, and needs zero dependencies. The pixel-decode
+# stages above stay gated on PIL; everything a catalog/shard-planner
+# needs (format routing, dims, aspect filtering, byte budgeting) works
+# off these.
+
+
+def image_header_dims(data: bytes) -> tuple[str, int, int]:
+    """(format, width, height) parsed from the container header alone.
+
+    PNG (IHDR), GIF87a/89a (logical screen), BMP (BITMAPINFOHEADER) and
+    JPEG (first SOF0-SOF15 frame marker, skipping entropy-free segments)
+    are recognised; anything else returns ("unknown", 0, 0). Truncated
+    headers return the format with 0×0 rather than raising — a corrupt
+    payload is data, not an error (O8 never-raises rule)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(data) >= 24:
+            return (
+                "png",
+                int.from_bytes(data[16:20], "big"),
+                int.from_bytes(data[20:24], "big"),
+            )
+        return ("png", 0, 0)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) >= 10:
+            return (
+                "gif",
+                int.from_bytes(data[6:8], "little"),
+                int.from_bytes(data[8:10], "little"),
+            )
+        return ("gif", 0, 0)
+    if data[:2] == b"BM":
+        if len(data) >= 26:
+            return (
+                "bmp",
+                int.from_bytes(data[18:22], "little", signed=True),
+                abs(int.from_bytes(data[22:26], "little", signed=True)),
+            )
+        return ("bmp", 0, 0)
+    if data[:2] == b"\xff\xd8":
+        i, n = 2, len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+            if seglen < 2:
+                break  # malformed length: stop, report dims unknown
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    return (
+                        "jpeg",
+                        int.from_bytes(data[i + 7 : i + 9], "big"),
+                        int.from_bytes(data[i + 5 : i + 7], "big"),
+                    )
+                break
+            i += 2 + seglen
+        return ("jpeg", 0, 0)
+    return ("unknown", 0, 0)
+
+
+def sniff_image_meta(batch: pa.Table, payload_col: str = "payload") -> pa.Table:
+    """Append (format, sniff_width, sniff_height) parsed from each
+    payload's container header. Per-row Python is inherent here (each
+    header is a variable-length scan) but bounded: only the header
+    region of each payload is touched, never the body."""
+    fmts, ws, hs = [], [], []
+    for data in batch[payload_col].to_pylist():
+        f, w, h = image_header_dims(data or b"")
+        fmts.append(f)
+        ws.append(w)
+        hs.append(h)
+    return (
+        batch.append_column("format", pa.array(fmts, pa.string()))
+        .append_column("sniff_width", pa.array(ws, pa.int32()))
+        .append_column("sniff_height", pa.array(hs, pa.int32()))
+    )
+
+
+def synth_media_table_headers(n: int = 64, seed: int = 9) -> pa.Table:
+    """Deterministic corpus of payloads with REAL container headers
+    (PNG/GIF/BMP/JPEG round-robin, plus every 7th row corrupt) and the
+    true dims recorded in the metadata columns — lets tests assert the
+    header parser against ground truth without any codec."""
+    rng = np.random.RandomState(seed)
+    ids, payloads, mimes, widths, heights = [], [], [], [], []
+    for i in range(n):
+        w = int(rng.randint(1, 4000))
+        h = int(rng.randint(1, 4000))
+        body = rng.bytes(int(rng.randint(16, 256)))
+        kind = i % 4
+        if i % 7 == 3:
+            data, mime, w, h = rng.bytes(64), "application/octet-stream", 0, 0
+        elif kind == 0:
+            data = (
+                b"\x89PNG\r\n\x1a\n"
+                + (13).to_bytes(4, "big")
+                + b"IHDR"
+                + w.to_bytes(4, "big")
+                + h.to_bytes(4, "big")
+                + body
+            )
+            mime = "image/png"
+        elif kind == 1:
+            data = (
+                b"GIF89a"
+                + w.to_bytes(2, "little")
+                + h.to_bytes(2, "little")
+                + body
+            )
+            w, h = w % 65536, h % 65536
+            mime = "image/gif"
+        elif kind == 2:
+            data = (
+                b"BM"
+                + bytes(16)
+                + w.to_bytes(4, "little")
+                + h.to_bytes(4, "little")
+                + body
+            )
+            mime = "image/bmp"
+        else:
+            app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+            sof0 = (
+                b"\xff\xc0"
+                + (17).to_bytes(2, "big")
+                + b"\x08"
+                + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big")
+                + b"\x03" + bytes(9)
+            )
+            data = b"\xff\xd8" + app0 + sof0 + body
+            w, h = w % 65536, h % 65536
+            mime = "image/jpeg"
+        ids.append(i)
+        payloads.append(data)
+        mimes.append(mime)
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )

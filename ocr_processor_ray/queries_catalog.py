@@ -2600,6 +2600,28 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.35)
 
 
+def q_media_header_dims(sf_dir: str):
+    """REAL (non-stub) image metadata: format + pixel dims parsed from
+    container headers (PNG IHDR / GIF screen / BMP info / JPEG SOF) —
+    no codec involved, so this path is fully functional in this
+    container; pytest asserts parsed dims == the generator's ground
+    truth, including corrupt payloads mapping to ('unknown', 0, 0)."""
+    import ray.data as rd2
+
+    from ocr_processor_ray.functions.multimodal import (
+        sniff_image_meta,
+        synth_media_table_headers,
+    )
+
+    ds = rd2.from_arrow(synth_media_table_headers(n=128, seed=9))
+    return ds.map_batches(
+        lambda b: sniff_image_meta(b).drop_columns(["payload"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+    )
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: binary payloads → actor-pool decode (stubbed)."""
     import ray.data as rd2
@@ -2677,6 +2699,7 @@ QUERIES = {
     "conversation_docs": q_conversation_docs,
     "conversation_doc_stats": q_conversation_doc_stats,
     "media_decode": q_media_decode,
+    "media_header_dims": q_media_header_dims,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_audio_chunks": q_media_audio_chunks,

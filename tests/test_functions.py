@@ -1465,3 +1465,58 @@ class TestPiiScrub:
         twice = scrub_pii(once.drop_columns(["n_pii"]))
         assert once["text"].to_pylist() == twice["text"].to_pylist()
         assert twice["n_pii"].to_pylist() == [0, 0]
+
+
+class TestImageHeaderDims:
+    """image_header_dims is REAL parsing (no codec): assert it against
+    the generator's recorded ground-truth dims, plus hand-built edge
+    cases the generator doesn't produce."""
+
+    def test_synthetic_corpus_roundtrip(self):
+        from ocr_processor_ray.functions.multimodal import (
+            sniff_image_meta,
+            synth_media_table_headers,
+        )
+
+        t = synth_media_table_headers(n=128, seed=9)
+        r = sniff_image_meta(t)
+        exp_fmt = {
+            "image/png": "png",
+            "image/gif": "gif",
+            "image/bmp": "bmp",
+            "image/jpeg": "jpeg",
+            "application/octet-stream": "unknown",
+        }
+        for row in r.to_pylist():
+            assert row["format"] == exp_fmt[row["mime"]], row
+            assert row["sniff_width"] == row["width"], row
+            assert row["sniff_height"] == row["height"], row
+
+    def test_edge_cases(self):
+        from ocr_processor_ray.functions.multimodal import image_header_dims
+
+        # truncated PNG: format recognised, dims unknown, never raises
+        assert image_header_dims(b"\x89PNG\r\n\x1a\n\x00") == ("png", 0, 0)
+        assert image_header_dims(b"GIF89a\x10") == ("gif", 0, 0)
+        assert image_header_dims(b"") == ("unknown", 0, 0)
+        # JPEG with restart markers and a progressive SOF2 frame
+        sof2 = (
+            b"\xff\xc2" + (17).to_bytes(2, "big") + b"\x08"
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+            + b"\x03" + bytes(9)
+        )
+        jpg = b"\xff\xd8" + b"\xff\xd0" + b"\xff\x01" + sof2
+        assert image_header_dims(jpg) == ("jpeg", 640, 480)
+        # JPEG whose DHT (C4) must be skipped, not read as a frame
+        dht = b"\xff\xc4" + (5).to_bytes(2, "big") + bytes(3)
+        jpg2 = b"\xff\xd8" + dht + sof2
+        assert image_header_dims(jpg2) == ("jpeg", 640, 480)
+        # malformed JPEG segment length: stops cleanly with dims unknown
+        assert image_header_dims(b"\xff\xd8\xff\xe0\x00\x01") == ("jpeg", 0, 0)
+        # BMP top-down (negative height) reports absolute height
+        bmp = (
+            b"BM" + bytes(16)
+            + (320).to_bytes(4, "little")
+            + (-200).to_bytes(4, "little", signed=True)
+        )
+        assert image_header_dims(bmp) == ("bmp", 320, 200)
