@@ -591,3 +591,131 @@ def synth_media_table_headers(n: int = 64, seed: int = 9) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+def video_header_meta(data: bytes) -> tuple[str, int, int]:
+    """(container, duration_ms, timescale) parsed from video container
+    headers alone — real parsing, no codec. ISO-BMFF/MP4 (box walk to
+    moov→mvhd, v0 and v1 layouts) and AVI (RIFF chunk walk to
+    hdrl→avih) are recognised; anything else → ("unknown", 0, 0).
+    Truncated/corrupt payloads degrade to duration 0, never raise."""
+    n = len(data)
+    if n >= 12 and data[4:8] == b"ftyp":
+
+        def walk(lo: int, hi: int, depth: int = 0):
+            i = lo
+            while i + 8 <= hi:
+                size = int.from_bytes(data[i : i + 4], "big")
+                btype = data[i + 4 : i + 8]
+                if size == 1 or size < 8:  # 64-bit/invalid sizes: stop
+                    return None
+                end = min(i + size, hi)
+                if btype == b"moov" and depth == 0:
+                    r = walk(i + 8, end, 1)
+                    if r is not None:
+                        return r
+                if btype == b"mvhd" and depth == 1 and i + 8 < end:
+                    p = i + 8
+                    if end - p >= 1:
+                        ver = data[p]
+                        if ver == 1 and end - p >= 28 + 4:
+                            ts = int.from_bytes(data[p + 20 : p + 24], "big")
+                            dur = int.from_bytes(data[p + 24 : p + 32], "big")
+                        elif ver == 0 and end - p >= 20 + 4:
+                            ts = int.from_bytes(data[p + 12 : p + 16], "big")
+                            dur = int.from_bytes(data[p + 16 : p + 20], "big")
+                        else:
+                            return None
+                        if ts > 0:
+                            return (dur * 1000 // ts, ts)
+                    return None
+                i = end
+            return None
+
+        r = walk(0, n)
+        return ("mp4", r[0], r[1]) if r else ("mp4", 0, 0)
+    if n >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        i = 12
+        while i + 8 <= n:
+            fourcc = data[i : i + 4]
+            size = int.from_bytes(data[i + 4 : i + 8], "little")
+            if fourcc == b"LIST" and data[i + 8 : i + 12] == b"hdrl":
+                j = i + 12
+                end = min(i + 8 + size, n)
+                while j + 8 <= end:
+                    sub = data[j : j + 4]
+                    ssize = int.from_bytes(data[j + 4 : j + 8], "little")
+                    if sub == b"avih" and j + 8 + 20 <= end:
+                        usec = int.from_bytes(data[j + 8 : j + 12], "little")
+                        frames = int.from_bytes(data[j + 24 : j + 28], "little")
+                        return ("avi", usec * frames // 1000, 1_000_000)
+                    j += 8 + ssize + (ssize & 1)
+                break
+            i += 8 + size + (size & 1)
+        return ("avi", 0, 0)
+    return ("unknown", 0, 0)
+
+
+def sniff_video_meta(batch: pa.Table, payload_col: str = "payload") -> pa.Table:
+    """Append (container, duration_ms, timescale) from video headers —
+    the shard planner's inputs (length bucketing, frame-budgeting)
+    without touching a codec."""
+    cs, ds_, ts = [], [], []
+    for data in batch[payload_col].to_pylist():
+        c, d, t = video_header_meta(data or b"")
+        cs.append(c)
+        ds_.append(d)
+        ts.append(t)
+    return (
+        batch.append_column("container", pa.array(cs, pa.string()))
+        .append_column("sniff_duration_ms", pa.array(ds_, pa.int64()))
+        .append_column("sniff_timescale", pa.array(ts, pa.int64()))
+    )
+
+
+def synth_video_table_headers(n: int = 48, seed: int = 11) -> pa.Table:
+    """Payloads with REAL MP4/AVI headers and ground-truth durations in
+    the metadata (every 5th row corrupt)."""
+    rng = np.random.RandomState(seed)
+    ids, payloads, mimes, durs = [], [], [], []
+    for i in range(n):
+        body = rng.bytes(int(rng.randint(16, 128)))
+        if i % 5 == 2:
+            data, mime, dur_ms = rng.bytes(48), "application/octet-stream", 0
+        elif i % 2 == 0:
+            ts = int(rng.choice([600, 1000, 90000]))
+            dur_units = int(rng.randint(1, 10_000_000))
+            mvhd_payload = (
+                b"\x00" + bytes(3) + bytes(8)
+                + ts.to_bytes(4, "big") + dur_units.to_bytes(4, "big") + bytes(80)
+            )
+            mvhd = (8 + len(mvhd_payload)).to_bytes(4, "big") + b"mvhd" + mvhd_payload
+            moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+            ftyp = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+            data = ftyp + moov + body
+            mime = "video/mp4"
+            dur_ms = dur_units * 1000 // ts
+        else:
+            usec = int(rng.choice([16667, 33333, 40000]))
+            frames = int(rng.randint(1, 100_000))
+            avih = b"avih" + (56).to_bytes(4, "little") + usec.to_bytes(
+                4, "little"
+            ) + bytes(12) + frames.to_bytes(4, "little") + bytes(36)
+            hdrl = b"LIST" + (4 + len(avih)).to_bytes(4, "little") + b"hdrl" + avih
+            data = b"RIFF" + (4 + len(hdrl) + len(body)).to_bytes(
+                4, "little"
+            ) + b"AVI " + hdrl + body
+            mime = "video/x-msvideo"
+            dur_ms = usec * frames // 1000
+        ids.append(i)
+        payloads.append(data)
+        mimes.append(mime)
+        durs.append(dur_ms)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "duration_ms": pa.array(durs, pa.int64()),
+        }
+    )

@@ -2622,6 +2622,27 @@ def q_media_header_dims(sf_dir: str):
     )
 
 
+def q_media_video_headers(sf_dir: str):
+    """REAL video metadata: container + duration parsed from MP4 mvhd /
+    AVI avih headers (pure byte-walking, no codec) — what a frame
+    budgeter or length-bucketing shard planner consumes. Pytest asserts
+    sniffed duration == the generator's ground truth."""
+    import ray.data as rd2
+
+    from ocr_processor_ray.functions.multimodal import (
+        sniff_video_meta,
+        synth_video_table_headers,
+    )
+
+    ds = rd2.from_arrow(synth_video_table_headers(n=96, seed=11))
+    return ds.map_batches(
+        lambda b: sniff_video_meta(b).drop_columns(["payload"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+    )
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal plumbing: binary payloads → actor-pool decode (stubbed)."""
     import ray.data as rd2
@@ -2700,6 +2721,7 @@ QUERIES = {
     "conversation_doc_stats": q_conversation_doc_stats,
     "media_decode": q_media_decode,
     "media_header_dims": q_media_header_dims,
+    "media_video_headers": q_media_video_headers,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "media_audio_chunks": q_media_audio_chunks,

@@ -1520,3 +1520,50 @@ class TestImageHeaderDims:
             + (-200).to_bytes(4, "little", signed=True)
         )
         assert image_header_dims(bmp) == ("bmp", 320, 200)
+
+
+class TestVideoHeaderMeta:
+    def test_synthetic_corpus_roundtrip(self):
+        from ocr_processor_ray.functions.multimodal import (
+            sniff_video_meta,
+            synth_video_table_headers,
+        )
+
+        t = synth_video_table_headers(n=96, seed=11)
+        r = sniff_video_meta(t)
+        exp = {
+            "video/mp4": "mp4",
+            "video/x-msvideo": "avi",
+            "application/octet-stream": "unknown",
+        }
+        for row in r.to_pylist():
+            assert row["container"] == exp[row["mime"]], row
+            assert row["sniff_duration_ms"] == row["duration_ms"], row
+
+    def test_edge_cases(self):
+        from ocr_processor_ray.functions.multimodal import video_header_meta
+
+        # mvhd version 1 (64-bit duration)
+        mvhd1 = (
+            b"\x01" + bytes(3) + bytes(16)
+            + (1000).to_bytes(4, "big") + (7_500).to_bytes(8, "big") + bytes(80)
+        )
+        mvhd = (8 + len(mvhd1)).to_bytes(4, "big") + b"mvhd" + mvhd1
+        moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+        ftyp = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+        assert video_header_meta(ftyp + moov) == ("mp4", 7_500, 1000)
+        # a free box before moov must be skipped
+        free = (16).to_bytes(4, "big") + b"free" + bytes(8)
+        assert video_header_meta(ftyp + free + moov) == ("mp4", 7_500, 1000)
+        # truncated: recognised container, zero duration, no raise
+        assert video_header_meta(ftyp) == ("mp4", 0, 0)
+        assert video_header_meta(b"RIFF\x04\x00\x00\x00AVI ") == ("avi", 0, 0)
+        assert video_header_meta(b"not a video") == ("unknown", 0, 0)
+        # zero timescale must not divide-by-zero
+        bad_mvhd = (
+            b"\x00" + bytes(3) + bytes(8)
+            + (0).to_bytes(4, "big") + (99).to_bytes(4, "big") + bytes(80)
+        )
+        mv = (8 + len(bad_mvhd)).to_bytes(4, "big") + b"mvhd" + bad_mvhd
+        mo = (8 + len(mv)).to_bytes(4, "big") + b"moov" + mv
+        assert video_header_meta(ftyp + mo) == ("mp4", 0, 0)
