@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "events_value_moments",
     "docs_length_outliers",
     "docs_exact_jaccard_pairs",
+    "embedding_pca",
+    "media_header_dims",
+    "media_video_headers",
     "events_user_deltas",
     "docs_pii_scrub",
     "docs_token_familiarity",

@@ -483,3 +483,93 @@ def distributed_kmeans(
     return centroids, ds.map_batches(
         assign_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+_PCA_SCALE = 1 << 16  # per-entry fixed-point quantum for exact covariance
+
+
+def distributed_pca(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    n_components: int = 4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-pass distributed PCA via exact integer sufficient statistics.
+
+    Every batch emits ONE partial row — (n, Σx_q, Σ x_q·x_qᵀ) with
+    entries quantized to int64 fixed-point — so the merge is pure
+    integer addition and the covariance is BIT-IDENTICAL under any block
+    arrangement / fold order (float partial covariances drift with the
+    fold shape; that nondeterminism is what makes naive distributed PCA
+    untestable). The driver sees O(dim²) ints per fold leaf, never the
+    corpus; the dense eigendecomposition runs on the tiny dim×dim matrix.
+
+    Range bound: with |x| ≈ O(1), products are ~2³²; int64 partial sums
+    hold ~2⁶² → ~10⁹ rows at this quantum. For 10¹²-row corpora drop
+    ``_PCA_SCALE`` to 2¹¹ (covariance error ~2⁻¹¹, far below sampling
+    noise at that n) or split sums into two int64 lanes.
+
+    Returns (components [k×dim, rows are eigenvectors, sign-canonical],
+    explained_variance [k], mean [dim]).
+    """
+    from ocr_processor_ray.functions.sketch import tree_fold
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _batch_matrix(b, vec_col).astype(np.float64)
+        q = np.round(m * _PCA_SCALE).astype(np.int64)
+        sx = q.sum(axis=0)
+        sxx = q.T @ q  # int64 matmul: object fallback is avoided by dtype
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "sx": pa.array([sx.tobytes()], pa.binary()),
+                "sxx": pa.array([sxx.tobytes()], pa.binary()),
+                "dim": pa.array([m.shape[1]], pa.int64()),
+            }
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        dim = int(b["dim"][0].as_py())
+        n = 0
+        sx = np.zeros(dim, dtype=np.int64)
+        sxx = np.zeros((dim, dim), dtype=np.int64)
+        for nn, sxb, sxxb in zip(
+            b["n"].to_pylist(), b["sx"].to_pylist(), b["sxx"].to_pylist()
+        ):
+            n += nn
+            sx += np.frombuffer(sxb, dtype=np.int64)
+            sxx += np.frombuffer(sxxb, dtype=np.int64).reshape(dim, dim)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sx": pa.array([sx.tobytes()], pa.binary()),
+                "sxx": pa.array([sxx.tobytes()], pa.binary()),
+                "dim": pa.array([dim], pa.int64()),
+            }
+        )
+
+    rows = tree_fold(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        merge,
+    )
+    dim = int(rows[0]["dim"])
+    n = 0
+    sx = np.zeros(dim, dtype=np.int64)
+    sxx = np.zeros((dim, dim), dtype=np.int64)
+    for r in rows:
+        n += int(r["n"])
+        sx += np.frombuffer(r["sx"], dtype=np.int64)
+        sxx += np.frombuffer(r["sxx"], dtype=np.int64).reshape(dim, dim)
+    if n == 0:
+        raise ValueError("distributed_pca: empty input")
+    mean = sx.astype(np.float64) / (n * _PCA_SCALE)
+    cov = sxx.astype(np.float64) / (n * _PCA_SCALE**2) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T.copy()
+    # canonical sign: the largest-|entry| coordinate of each component
+    # is made positive (eigenvectors are sign-ambiguous)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, evals[order], mean

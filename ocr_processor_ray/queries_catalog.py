@@ -2139,6 +2139,38 @@ def q_docs_exact_jaccard_pairs(sf_dir: str):
     return j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the full embedding corpus + projection of
+    every vector onto the top-2 components (the whitening /
+    dimensionality-reduction step an embedding pipeline runs before
+    clustering). One pass of quantized integer sufficient statistics →
+    bit-identical covariance under any block layout (see
+    similarity.distributed_pca); the dim×dim eigenproblem is driver-side
+    by construction. Rows-only (float projections); determinism and
+    numpy-dense-PCA agreement are pytest-pinned."""
+    import ray
+
+    from ocr_processor_ray.functions.similarity import _batch_matrix, distributed_pca
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    comps, _, mean = distributed_pca(ds, n_components=2)
+    c_ref = ray.put((comps.astype(np.float64), mean))
+
+    def project(b: pa.Table) -> pa.Table:
+        c, mu = ray.get(c_ref)
+        m = _batch_matrix(b, "embedding").astype(np.float64) - mu
+        proj = m @ c.T
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "pc1": pa.array(proj[:, 0]),
+                "pc2": pa.array(proj[:, 1]),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_word_postings(sf_dir: str):
     """Inverted-index build for frequent terms: explode (word, doc_id)
     pairs, distinct them with a two-phase hash agg, df-filter the
@@ -2772,6 +2804,7 @@ QUERIES = {
     "events_value_moments": q_events_value_moments,
     "docs_length_outliers": q_docs_length_outliers,
     "docs_exact_jaccard_pairs": q_docs_exact_jaccard_pairs,
+    "embedding_pca": q_embedding_pca,
     "events_rollup": q_events_rollup,
     "docs_split_assign": q_docs_split_assign,
     "events_user_deltas": q_events_user_deltas,

@@ -51,3 +51,62 @@ class TestDistributedKmeans:
         d2 = a2.to_pandas().sort_values("vec_id").reset_index(drop=True)
         assert (d1["cluster"] == d2["cluster"]).all()
         assert (d1["sim_q"] == d2["sim_q"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedPCA:
+    def _ds(self, n=300, dim=8, seed=7):
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        # anisotropic cloud: a dominant direction PCA must find
+        base = rng.standard_normal((n, dim))
+        base[:, 0] *= 5.0
+        base[:, 1] *= 2.0
+        base += rng.standard_normal(dim)  # nonzero mean
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(base.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        return rd.from_arrow(t), base.astype(np.float32).astype(np.float64)
+
+    def test_matches_dense_numpy_pca(self):
+        from ocr_processor_ray.functions.similarity import distributed_pca
+
+        ds, dense = self._ds()
+        comps, evals, mean = distributed_pca(ds, n_components=3)
+        mu = dense.mean(axis=0)
+        cov = (dense - mu).T @ (dense - mu) / len(dense)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:3]
+        np.testing.assert_allclose(mean, mu, atol=1e-4)
+        np.testing.assert_allclose(evals, w[order], rtol=1e-3)
+        for i, j in enumerate(order):
+            cos = abs(float(comps[i] @ v[:, j]))
+            assert cos > 0.999, (i, cos)
+
+    def test_bit_identical_across_block_layouts(self):
+        from ocr_processor_ray.functions.similarity import distributed_pca
+
+        ds, _ = self._ds()
+        a = distributed_pca(ds.repartition(1), n_components=2)
+        b = distributed_pca(ds.repartition(13), n_components=2)
+        assert np.array_equal(a[0], b[0])  # components exactly equal
+        assert np.array_equal(a[1], b[1])
+        assert np.array_equal(a[2], b[2])
+
+    def test_empty_input_raises(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.similarity import distributed_pca
+
+        t = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+        with pytest.raises(Exception):
+            distributed_pca(rd.from_arrow(t), n_components=2)
