@@ -77,7 +77,21 @@ def content_hash128(values) -> tuple[np.ndarray, np.ndarray]:
     1.5e-19 (vs ~0.3% for one 64-bit lane). Each lane is the same
     factorize-once pipeline as ``stable_hash_array``, so the pair costs
     ~2× one lane — far cheaper than per-row ``hashlib.md5`` and fully
-    vectorized."""
+    vectorized.
+
+    STRING INPUT ONLY: for numeric dtypes ``pd.util.hash_array`` ignores
+    ``hash_key`` (the keyed siphash applies to the object/string path
+    only), so both "lanes" would be IDENTICAL and the 128-bit claim
+    silently degrades to 64 bits. Refuse loudly rather than hand a
+    caller a fake collision bound."""
+    if isinstance(values, np.ndarray) and values.dtype.kind in "iuf":
+        raise TypeError(
+            "content_hash128 requires string input: pandas' keyed siphash "
+            "lane only applies to object/string arrays, so numeric input "
+            "would yield two identical lanes (64-bit identity, not 128). "
+            "Hash the numeric column's string form, or use "
+            "stable_hash_array if 64 bits suffice."
+        )
     return (
         stable_hash_array(values),
         stable_hash_array(values, hash_key=_LANE2_KEY),

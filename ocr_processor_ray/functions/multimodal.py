@@ -258,26 +258,51 @@ class FrameSample:
         self.payload_col = payload_col
 
     def _real_frames(self, data: bytes) -> list[tuple[int, int, bytes]]:
-        """(frame_idx, ts_ms, jpeg_bytes) — evenly spaced decode order."""
+        """(frame_idx, ts_ms, jpeg_bytes) — N evenly spaced timestamps.
+
+        Seek-based: for each target timestamp, seek to the nearest
+        keyframe and decode forward only until the first frame at/past
+        the target — at most a GOP of frames is ever alive per pick, so
+        a 2-hour video costs N seeks + N short decode bursts, never a
+        full-corpus decode (the earlier ``list(container.decode(...))``
+        materialized EVERY frame before picking — hundreds of GB of raw
+        pixels for long inputs, with the resulting MemoryError swallowed
+        as 'zero frames')."""
         import io
 
         try:
             with self._av.open(io.BytesIO(data)) as container:
                 stream = container.streams.video[0]
-                frames = list(container.decode(stream))
-            if not frames:
-                return []
-            picks = [
-                frames[min(int(i * len(frames) / self.n_frames), len(frames) - 1)]
-                for i in range(self.n_frames)
-            ]
-            out = []
-            for i, fr in enumerate(picks):
-                ts_ms = int((fr.time or 0.0) * 1000)
-                buf = io.BytesIO()
-                fr.to_image().save(buf, format="JPEG")
-                out.append((i, ts_ms, buf.getvalue()))
-            return out
+                dur_s = (
+                    float(container.duration) / 1_000_000.0
+                    if container.duration
+                    else 0.0
+                )
+                if dur_s <= 0:
+                    # unknown duration: decode forward, keep first n only
+                    out = []
+                    for fr in container.decode(stream):
+                        ts_ms = int((fr.time or 0.0) * 1000)
+                        buf = io.BytesIO()
+                        fr.to_image().save(buf, format="JPEG")
+                        out.append((len(out), ts_ms, buf.getvalue()))
+                        if len(out) >= self.n_frames:
+                            break
+                    return out
+                out = []
+                for i in range(self.n_frames):
+                    target_s = dur_s * i / self.n_frames
+                    container.seek(
+                        int(target_s * 1_000_000), any_frame=False
+                    )
+                    for fr in container.decode(stream):
+                        if fr.time is None or fr.time >= target_s:
+                            ts_ms = int((fr.time or 0.0) * 1000)
+                            buf = io.BytesIO()
+                            fr.to_image().save(buf, format="JPEG")
+                            out.append((i, ts_ms, buf.getvalue()))
+                            break
+                return out
         except Exception:
             return []  # unparsable payload → zero frames, never raises
 
@@ -445,17 +470,28 @@ def chunk_audio(ds: Dataset, chunk_ms: int = 30_000, overlap_ms: int = 1_000,
 # off these.
 
 
+def _clamp_dims(fmt: str, w: int, h: int) -> tuple[str, int, int]:
+    """Adversarial-header guard: dims outside 1 … 2³¹−1 (int32 output
+    range) are corrupt by definition → report the format with 0×0."""
+    if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+        return (fmt, 0, 0)
+    return (fmt, w, h)
+
+
 def image_header_dims(data: bytes) -> tuple[str, int, int]:
     """(format, width, height) parsed from the container header alone.
 
     PNG (IHDR), GIF87a/89a (logical screen), BMP (BITMAPINFOHEADER) and
     JPEG (first SOF0-SOF15 frame marker, skipping entropy-free segments)
     are recognised; anything else returns ("unknown", 0, 0). Truncated
-    headers return the format with 0×0 rather than raising — a corrupt
-    payload is data, not an error (O8 never-raises rule)."""
+    headers return the format with 0×0 rather than raising, and parsed
+    dims outside a plausible pixel range (1 … 2³¹−1) are treated as
+    corrupt and reported 0×0 — a corrupt payload is data, not an error
+    (O8 never-raises rule), and an adversarial header must not be able
+    to overflow the int32 output column."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         if len(data) >= 24:
-            return (
+            return _clamp_dims(
                 "png",
                 int.from_bytes(data[16:20], "big"),
                 int.from_bytes(data[20:24], "big"),
@@ -463,7 +499,7 @@ def image_header_dims(data: bytes) -> tuple[str, int, int]:
         return ("png", 0, 0)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         if len(data) >= 10:
-            return (
+            return _clamp_dims(
                 "gif",
                 int.from_bytes(data[6:8], "little"),
                 int.from_bytes(data[8:10], "little"),
@@ -471,7 +507,7 @@ def image_header_dims(data: bytes) -> tuple[str, int, int]:
         return ("gif", 0, 0)
     if data[:2] == b"BM":
         if len(data) >= 26:
-            return (
+            return _clamp_dims(
                 "bmp",
                 int.from_bytes(data[18:22], "little", signed=True),
                 abs(int.from_bytes(data[22:26], "little", signed=True)),
@@ -492,7 +528,7 @@ def image_header_dims(data: bytes) -> tuple[str, int, int]:
                 break  # malformed length: stop, report dims unknown
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 9 <= n:
-                    return (
+                    return _clamp_dims(
                         "jpeg",
                         int.from_bytes(data[i + 7 : i + 9], "big"),
                         int.from_bytes(data[i + 5 : i + 7], "big"),
@@ -598,7 +634,10 @@ def video_header_meta(data: bytes) -> tuple[str, int, int]:
     headers alone — real parsing, no codec. ISO-BMFF/MP4 (box walk to
     moov→mvhd, v0 and v1 layouts) and AVI (RIFF chunk walk to
     hdrl→avih) are recognised; anything else → ("unknown", 0, 0).
-    Truncated/corrupt payloads degrade to duration 0, never raise."""
+    Truncated/corrupt payloads degrade to duration 0, never raise; a
+    parsed duration outside 0 … 2⁶³−1 ms is corrupt by definition and
+    reports 0 (an adversarial header must not overflow the int64
+    output column)."""
     n = len(data)
     if n >= 12 and data[4:8] == b"ftyp":
 
@@ -627,7 +666,9 @@ def video_header_meta(data: bytes) -> tuple[str, int, int]:
                         else:
                             return None
                         if ts > 0:
-                            return (dur * 1000 // ts, ts)
+                            ms = dur * 1000 // ts
+                            if 0 <= ms <= 0x7FFFFFFFFFFFFFFF:
+                                return (ms, ts)
                     return None
                 i = end
             return None
@@ -648,7 +689,10 @@ def video_header_meta(data: bytes) -> tuple[str, int, int]:
                     if sub == b"avih" and j + 8 + 20 <= end:
                         usec = int.from_bytes(data[j + 8 : j + 12], "little")
                         frames = int.from_bytes(data[j + 24 : j + 28], "little")
-                        return ("avi", usec * frames // 1000, 1_000_000)
+                        ms = usec * frames // 1000
+                        if not 0 <= ms <= 0x7FFFFFFFFFFFFFFF:
+                            ms = 0
+                        return ("avi", ms, 1_000_000)
                     j += 8 + ssize + (ssize & 1)
                 break
             i += 8 + size + (size & 1)

@@ -84,10 +84,28 @@ def broadcast_join(
 
     small_pdf = small_tbl.to_pandas()
     small_ref = ray.put(small_pdf)
+    key_cols = {on} if single_key else set(on)
 
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
         small = ray.get(small_ref)
-        return batch.merge(small, on=on, how=how, suffixes=("", "_r"))
+        # same until-unused suffix rule as the Arrow fast path: pandas'
+        # fixed suffixes=("", "_r") raises on a second-level collision
+        # (big side already has both `c` and `c_r`), so pre-rename the
+        # small side's colliding payload columns instead
+        rename = {}
+        for c in small.columns:
+            if c in key_cols or c not in batch.columns:
+                continue
+            name = c
+            while (
+                name in batch.columns
+                or (name != c and name in small.columns)
+                or name in rename.values()
+            ):
+                name = name + "_r"
+            rename[c] = name
+        s = small.rename(columns=rename) if rename else small
+        return batch.merge(s, on=on, how=how, suffixes=("", "_r"))
 
     return big.map_batches(join_batch, batch_format="pandas")
 

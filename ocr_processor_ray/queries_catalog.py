@@ -757,9 +757,15 @@ def q_building_segment_revenue(sf_dir: str):
         lhs = g[g["_side"] == 0]
         keys = g.loc[g["_side"] == 1, "l_orderkey"]
         m = lhs["l_orderkey"].isin(keys)
+        # the null-padded union coerces rev_c to float64 in pandas; each
+        # ELEMENT is still exactly representable (per-lineitem cents ≪
+        # 2^53) but a float64 SUM loses exactness once a bucket's total
+        # crosses 2^53 (~sf100) — cast back per element, sum in int64
+        vals = lhs.loc[m, "rev_c"].to_numpy()
+        total = int(vals.astype(np.int64).sum()) if len(vals) else 0
         return pd.DataFrame(
             {
-                "rev_c": pd.array([int(lhs.loc[m, "rev_c"].sum())], dtype="int64"),
+                "rev_c": pd.array([total], dtype="int64"),
                 "n_li": pd.array([int(m.sum())], dtype="int64"),
             }
         )
@@ -1488,20 +1494,11 @@ def q_docs_top_words(sf_dir: str):
     return global_topk(counts, "n", 20, "word")
 
 
-def q_docs_oov_rate(sf_dir: str):
-    """Vocabulary-based quality signal (unigram-LM shape, integer-exact):
-    per-doc out-of-vocabulary token counts against the corpus' own
-    top-1000 vocabulary. Two passes: (1) word explode → two-phase hash
-    count → ``global_topk`` picks the vocabulary (count desc, word asc —
-    a total order, so the cut is engine-independent); (2) the tiny vocab
-    broadcasts via the task closure and each batch counts members with
-    one hash-probe ``pc.is_in`` + per-doc ``reduceat``. All compared
-    columns are integers, so the oracle is exact. Docs with zero tokens
-    are dropped on both sides (the SQL's unnest produces no rows)."""
+def _top_vocab(ds: Dataset, v: int) -> pa.Table:
+    """(word, n) table of the corpus' top-``v`` whitespace tokens under
+    the (count desc, word asc) TOTAL order — engine-independent cut,
+    shared by the vocabulary-scoring queries."""
     from ocr_processor_ray.functions.agg import global_topk
-
-    V = 1000
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(b: pa.Table) -> pa.Table:
         words = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
@@ -1510,36 +1507,65 @@ def q_docs_oov_rate(sf_dir: str):
 
     words = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     counts = two_phase_agg(words, ["word"], [("word", "count", "n")])
-    vocab = global_topk(counts, "n", V, "word")["word"].combine_chunks()
+    return global_topk(counts, "n", v, "word")
+
+
+def _per_doc_vocab_score(
+    ds: Dataset, vocab: pa.Array, contrib_fn, out_col: str
+) -> Dataset:
+    """Per-doc (n_tokens, ``out_col``) against a broadcast vocabulary.
+
+    ``contrib_fn(idx)`` maps each token's vocab index (int64; −1 = not
+    in vocab) to its int64 contribution; empty tokens are zeroed by the
+    helper and excluded from n_tokens. One ``index_in`` probe + per-doc
+    ``reduceat`` per batch; docs with zero tokens are dropped (the
+    oracle SQL's unnest produces no rows for them)."""
 
     def score(b: pa.Table) -> pa.Table:
         words_list = pc.utf8_split_whitespace(b["text"])
         lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(words_list)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        member = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
-        oov = (nonempty & ~member).astype(np.int64)
+        idx = pc.index_in(flat, value_set=vocab).fill_null(-1)
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = contrib_fn(idx).astype(np.int64)
+        contrib[~nonempty] = 0
         tok = nonempty.astype(np.int64)
         offs = np.zeros(len(lens), dtype=np.intp)
         np.cumsum(lens[:-1], out=offs[1:])
         valid = offs < len(flat)
         n_tok = np.zeros(len(lens), dtype=np.int64)
-        n_oov = np.zeros(len(lens), dtype=np.int64)
+        out = np.zeros(len(lens), dtype=np.int64)
         if valid.any() and len(flat):
             n_tok[valid] = np.add.reduceat(tok, offs[valid])
-            n_oov[valid] = np.add.reduceat(oov, offs[valid])
+            out[valid] = np.add.reduceat(contrib, offs[valid])
         n_tok[lens == 0] = 0
-        n_oov[lens == 0] = 0
+        out[lens == 0] = 0
         t = pa.table(
             {
                 "doc_id": b["doc_id"],
                 "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_oov": pa.array(n_oov, pa.int64()),
+                out_col: pa.array(out, pa.int64()),
             }
         )
         return t.filter(pc.greater(t["n_tokens"], 0))
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_docs_oov_rate(sf_dir: str):
+    """Vocabulary-based quality signal (unigram-LM shape, integer-exact):
+    per-doc out-of-vocabulary token counts against the corpus' own
+    top-1000 vocabulary. Two passes: (1) ``_top_vocab`` (two-phase hash
+    count → engine-independent total-order cut); (2) the tiny vocab
+    broadcasts via the task closure, ``_per_doc_vocab_score`` counts
+    non-members per doc. All compared columns are integers, so the
+    oracle is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _top_vocab(ds, 1000)["word"].combine_chunks()
+    return _per_doc_vocab_score(
+        ds, vocab, lambda idx: (idx < 0).astype(np.int64), "n_oov"
+    )
 
 
 def q_dedup_exact_by_lang(sf_dir: str):
@@ -1817,53 +1843,19 @@ def q_docs_token_familiarity(sf_dir: str):
     vocabulary WITH counts (two-phase hash agg + ``global_topk`` under
     a total order, so the cut is engine-independent); pass 2 broadcasts
     the tiny (word, count) table in the task closure and scores each
-    batch with one ``index_in`` probe + per-doc ``reduceat`` — all
+    batch with one ``index_in`` probe + per-doc ``reduceat``
+    (``_per_doc_vocab_score``, shared with q_docs_oov_rate) — all
     integers, so the oracle comparison is exact."""
-    from ocr_processor_ray.functions.agg import global_topk
-
-    V = 1000
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def explode(b: pa.Table) -> pa.Table:
-        words = pc.list_flatten(pc.utf8_split_whitespace(b["text"]))
-        words = words.filter(pc.not_equal(words, ""))
-        return pa.table({"word": words})
-
-    words = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    counts = two_phase_agg(words, ["word"], [("word", "count", "n")])
-    vt = global_topk(counts, "n", V, "word")
+    vt = _top_vocab(ds, 1000)
     vocab = vt["word"].combine_chunks()
     vocab_n = vt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-    def score(b: pa.Table) -> pa.Table:
-        words_list = pc.utf8_split_whitespace(b["text"])
-        lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(words_list)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        idx = pc.index_in(flat, value_set=vocab).fill_null(-1)
-        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
-        contrib = np.where(idx >= 0, vocab_n[np.clip(idx, 0, None)], 0)
-        tok = nonempty.astype(np.int64)
-        offs = np.zeros(len(lens), dtype=np.intp)
-        np.cumsum(lens[:-1], out=offs[1:])
-        valid = offs < len(flat)
-        n_tok = np.zeros(len(lens), dtype=np.int64)
-        fam = np.zeros(len(lens), dtype=np.int64)
-        if valid.any() and len(flat):
-            n_tok[valid] = np.add.reduceat(tok, offs[valid])
-            fam[valid] = np.add.reduceat(contrib, offs[valid])
-        n_tok[lens == 0] = 0
-        fam[lens == 0] = 0
-        t = pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "familiarity": pa.array(fam, pa.int64()),
-            }
-        )
-        return t.filter(pc.greater(t["n_tokens"], 0))
-
-    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return _per_doc_vocab_score(
+        ds,
+        vocab,
+        lambda idx: np.where(idx >= 0, vocab_n[np.clip(idx, 0, None)], 0),
+        "familiarity",
+    )
 
 
 def q_docs_pii_scrub(sf_dir: str):

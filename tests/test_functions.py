@@ -1148,6 +1148,60 @@ class TestRound4Fixes:
         assert sorted(got.columns) == ["k", "name", "name_r", "name_r_r"]
         assert got.sort_values("k")["name_r_r"].tolist() == ["s1", "s2"]
 
+    def test_broadcast_join_pandas_fallback_collision_uniquified(self):
+        """A duplicate-key small side routes to the pandas fallback; it
+        must apply the SAME until-unused suffix rule as the fast path
+        (pandas' fixed suffixes would raise on a second-level clash)."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import broadcast_join
+
+        big = pd.DataFrame(
+            {"k": [1, 2], "name": ["b1", "b2"], "name_r": ["r1", "r2"]}
+        )
+        # duplicate key 1 → fallback path; join multiplies that row
+        small = pd.DataFrame({"k": [1, 1, 2], "name": ["s1", "s1b", "s2"]})
+        got = broadcast_join(rd.from_pandas(big), small, on="k").to_pandas()
+        assert sorted(got.columns) == ["k", "name", "name_r", "name_r_r"]
+        assert sorted(got[got["k"] == 1]["name_r_r"]) == ["s1", "s1b"]
+        assert got[got["k"] == 2]["name_r_r"].tolist() == ["s2"]
+
+    def test_content_hash128_rejects_numeric_input(self):
+        import pytest as _pytest
+
+        from ocr_processor_ray.functions.hashing import content_hash128
+
+        with _pytest.raises(TypeError, match="string input"):
+            content_hash128(np.array([10, 20, 30], dtype=np.int64))
+        lo, hi = content_hash128(["a", "b"])  # strings still fine
+        assert not np.array_equal(lo, hi)
+
+    def test_header_sniffs_clamp_adversarial_values(self):
+        from ocr_processor_ray.functions.multimodal import (
+            image_header_dims,
+            video_header_meta,
+        )
+
+        # PNG claiming 2^32-1 dims would overflow the int32 column
+        png = b"\x89PNG\r\n\x1a\n" + bytes(8) + b"\xff\xff\xff\xff" * 2
+        assert image_header_dims(png) == ("png", 0, 0)
+        # BMP height -2^31: abs() == 2^31 > int32 max
+        bmp = (
+            b"BM" + bytes(16)
+            + (320).to_bytes(4, "little")
+            + (0x80000000).to_bytes(4, "little")
+        )
+        assert image_header_dims(bmp) == ("bmp", 0, 0)
+        # mvhd v1 with duration 2^63 at timescale 1 → int64 ms overflow
+        mvhd1 = (
+            b"\x01" + bytes(3) + bytes(16)
+            + (1).to_bytes(4, "big") + (1 << 63).to_bytes(8, "big") + bytes(80)
+        )
+        mvhd = (8 + len(mvhd1)).to_bytes(4, "big") + b"mvhd" + mvhd1
+        moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+        ftyp = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
+        assert video_header_meta(ftyp + moov) == ("mp4", 0, 0)
+
     def test_dedup_lines_duplicate_doc_id_raises(self):
         import ray.data as rd
 
