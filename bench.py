@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "embedding_pca",
     "media_header_dims",
     "media_video_headers",
+    "events_running_sum",
     "events_user_deltas",
     "docs_pii_scrub",
     "docs_token_familiarity",

@@ -2025,18 +2025,22 @@ def q_docs_exact_jaccard_pairs(sf_dir: str):
     the LSH families (`minhash_pairs`, `ngram_jaccard_pairs`) trade
     recall against. Per batch, one vectorized hash pass builds each
     doc's DISTINCT shingle set (in-batch dedup is global: a doc's words
-    live in its own row); |A∩B| comes from a coarse-bucket group by
-    shingle emitting co-occurring id pairs (np.triu_indices — the
+    live in its own row) and the set SIZE rides along on every exploded
+    row (16 bytes/row buys the plan freedom from any size-lookup join);
+    |A∩B| comes from a coarse-bucket group by shingle emitting
+    co-occurring (id_a, id_b, n_a, n_b) tuples (np.triu_indices — the
     quadratic-in-hot-shingle cost is the PROBLEM's lower bound, not an
-    engine artifact; the LSH family is the scale path), |A| from a tiny
-    per-doc count, and the τ filter is all-integer
-    (100·inter ≥ 35·union), so no float crosses the comparison. Shingle
-    identity is the 64-bit polynomial hash (in-corpus collision odds
-    ~(Σ shingles)²/2⁶⁵ — negligible, same argument as
-    doc_bigram_repetition); the oracle joins on the literal 3-gram
-    strings."""
+    engine artifact; the LSH family is the scale path), and ONE hash agg
+    counts intersections. Plan = exactly two exchanges (bucket shuffle +
+    agg); an earlier version joined a per-doc size table in twice and
+    cost 20+ s at sf0.1 vs ~4 s for this shape. The τ filter is
+    all-integer (100·inter ≥ 35·union), so no float crosses the
+    comparison. Shingle identity is the 64-bit polynomial hash
+    (in-corpus collision odds ~(Σ shingles)²/2⁶⁵ — negligible, same
+    argument as doc_bigram_repetition); the oracle joins on the literal
+    3-gram strings."""
     from ocr_processor_ray.functions.dedup import _rolling_shingles, _word_hashes
-    from ocr_processor_ray.functions.relational import bucketed_join, bucketed_map_groups
+    from ocr_processor_ray.functions.relational import _bucket_of
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -2045,7 +2049,7 @@ def q_docs_exact_jaccard_pairs(sf_dir: str):
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         lens = np.array([len(w) for w in words_per], np.int64)
         flat = [w for ws in words_per for w in ws]
-        out_id, out_sh = [], []
+        out_id, out_sh, out_n = [], [], []
         if flat:
             wh = _word_hashes(flat)
             offs = np.zeros(len(lens), np.int64)
@@ -2058,58 +2062,75 @@ def q_docs_exact_jaccard_pairs(sf_dir: str):
                 )
                 out_id.append(np.full(len(sh), ids[i], np.int64))
                 out_sh.append(sh.view(np.int64))
+                out_n.append(np.full(len(sh), len(sh), np.int64))
         if not out_id:
             return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.int64()),
+                    "n_sh": pa.array([], pa.int64()),
+                }
             )
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(out_id)),
                 "sh": pa.array(np.concatenate(out_sh)),
+                "n_sh": pa.array(np.concatenate(out_n)),
             }
         )
 
     pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    sizes = two_phase_agg(pairs, ["doc_id"], [("sh", "count", "n_sh")])
 
-    def emit(g: "pd.DataFrame") -> "pd.DataFrame":
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_bucket", pa.array(_bucket_of(b["sh"], 64)))
 
-    co = bucketed_map_groups(pairs, "sh", emit)
+    # ONE vectorized kernel per hash bucket (lexsort + run scan): only
+    # runs with ≥2 docs pay the quadratic emit, unique shingles cost one
+    # comparison each — never a per-shingle Python dispatch.
+    def emit_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        sh = g["sh"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        ns = g["n_sh"].to_numpy()
+        order = np.lexsort((ids, sh))
+        sh, ids, ns = sh[order], ids[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
+        lens = ends - starts
+        cols: dict[str, list] = {"id_a": [], "id_b": [], "n_a": [], "n_b": []}
+        for s, e in zip(starts[lens >= 2], ends[lens >= 2]):
+            a, b = np.triu_indices(e - s, k=1)
+            cols["id_a"].append(ids[s:e][a])
+            cols["id_b"].append(ids[s:e][b])
+            cols["n_a"].append(ns[s:e][a])
+            cols["n_b"].append(ns[s:e][b])
+        if not cols["id_a"]:
+            return pd.DataFrame(
+                {k: pd.array([], dtype="int64") for k in cols}
+            )
+        return pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+    co = (
+        pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(emit_bucket, batch_format="pandas")
+    )
     co = co.map_batches(
         lambda t: pa.table(
-            {
-                "id_a": pc.cast(t["id_a"], pa.int64()),
-                "id_b": pc.cast(t["id_b"], pa.int64()),
-            }
+            {c: pc.cast(t[c], pa.int64()) for c in ("id_a", "id_b", "n_a", "n_b")}
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    inter = two_phase_agg(co, ["id_a", "id_b"], [("id_a", "count", "inter")])
-    j1 = bucketed_join(
-        inter,
-        sizes.map_batches(
-            lambda t: pa.table({"id_a": t["doc_id"], "n_a": t["n_sh"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        on="id_a",
-        num_buckets=32,
-    )
-    j2 = bucketed_join(
-        j1,
-        sizes.map_batches(
-            lambda t: pa.table({"id_b": t["doc_id"], "n_b": t["n_sh"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        on="id_b",
-        num_buckets=32,
+    # candidate pairs are mostly UNIQUE keys, so partials barely reduce
+    # and the default combine threshold would route 10^6 rows into the
+    # partitioned (sort-shuffle) fallback — measured 3× the whole
+    # query's cost. A one-worker hash combine handles 5M pair rows
+    # (~160 MB) in tens of ms; past that the fallback is the right call.
+    inter = two_phase_agg(
+        co,
+        ["id_a", "id_b", "n_a", "n_b"],
+        [("id_a", "count", "inter")],
+        max_combine_rows=5_000_000,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -2128,7 +2149,7 @@ def q_docs_exact_jaccard_pairs(sf_dir: str):
         )
         return out.filter(keep)
 
-    return j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return inter.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_embedding_pca(sf_dir: str):

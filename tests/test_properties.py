@@ -160,3 +160,51 @@ def test_batch_simhash_edge_cases():
     for i, t in enumerate(texts):
         assert got[i] == simhash64(t), (i, repr(t))
     assert got[0] == got[1] == -(1 << 63)
+
+
+# PII fragments interleaved with noise: the property pins the Arrow RE2
+# kernel to an independent Python `re` reference applying the SAME
+# patterns in the SAME order (the constructs used are semantics-identical
+# between re and RE2: classes, bounded quantifiers, alternation, \b).
+_PII_FRAGMENTS = st.sampled_from(
+    [
+        "bob@example.com",
+        "a.b-c_d@ex-ample.org",
+        "x@y.io",
+        "@nope",
+        "a@b.c",
+        "192.168.0.1",
+        "8.8.8.8",
+        "999.999.999.999",
+        "1.2.3",
+        "(555) 123-4567",
+        "+1 555.123.4567",
+        "555-999-0000",
+        "555-12-3456",
+        "plain words here",
+        "x",
+        "",
+        ".",
+        "-",
+        " ",
+    ]
+)
+
+
+@given(st.lists(_PII_FRAGMENTS, min_size=0, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_scrub_pii_matches_python_re_reference(frags):
+    import re
+
+    import pyarrow as pa
+
+    from ocr_processor_ray.functions.text import PII_PATTERNS, scrub_pii
+
+    text = " ".join(frags)
+    expected, n = text, 0
+    for _, pat, tok in PII_PATTERNS:
+        n += len(re.findall(pat, expected))
+        expected = re.sub(pat, tok, expected)
+    got = scrub_pii(pa.table({"text": [text]}))
+    assert got["text"][0].as_py() == expected, text
+    assert got["n_pii"][0].as_py() == n, text
