@@ -328,15 +328,35 @@ def bucketed_join(
     both, l_cols, r_cols, l_types, r_types = _tagged_bucket_union(
         left, right, on, num_buckets, l_schema, r_schema
     )
+    # right-side columns that collide with left names carry the suffix in
+    # the merged output (pandas applies it inside merge; unmatched right
+    # rows appended manually for outer need the same names)
+    rename_right = {
+        c: c + suffix_right for c in r_cols if c != on and c in l_types
+    }
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["_side"] == 0][l_cols]
         rhs = group[group["_side"] == 1][r_cols]
+        # SQL null semantics: NULL never equals NULL. pandas disagrees —
+        # merge MATCHES NaN↔NaN and isin(NaN, [NaN]) is True — so strip
+        # null keys from the match side first: inner/semi then drop
+        # null-keyed left rows (nothing to match), anti KEEPS them
+        # (NOT EXISTS), left keeps them unmatched; outer re-appends the
+        # stripped right rows as unmatched output.
+        rhs_null = rhs[rhs[on].isna()]
+        rhs = rhs[rhs[on].notna()]
         if how == "anti":
             return lhs[~lhs[on].isin(rhs[on])]
         if how == "semi":
             return lhs[lhs[on].isin(rhs[on])]
-        return lhs.merge(rhs, on=on, how=how, suffixes=("", suffix_right))
+        merged = lhs.merge(rhs, on=on, how=how, suffixes=("", suffix_right))
+        if how == "outer" and len(rhs_null):
+            merged = pd.concat(
+                [merged, rhs_null.rename(columns=rename_right)],
+                ignore_index=True,
+            )
+        return merged
 
     expected = dict(l_types)
     if how not in ("anti", "semi"):

@@ -362,6 +362,64 @@ class TestJoins:
             check_dtype=False,
         )
 
+    def test_bucketed_join_null_keys_follow_sql_semantics(self):
+        """SQL: NULL never equals NULL. pandas merge/isin disagree (NaN
+        matches NaN), so every join mode is pinned against DuckDB on
+        null-bearing keys."""
+        import duckdb
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import bucketed_join
+
+        left_t = pa.table(
+            {
+                "k": pa.array([1, 2, None, None, 4], pa.int64()),
+                "a": pa.array([10, 20, 30, 31, 40], pa.int64()),
+            }
+        )
+        right_t = pa.table(
+            {
+                "k": pa.array([1, None, 5], pa.int64()),
+                "b": pa.array([100, 300, 500], pa.int64()),
+            }
+        )
+        con = duckdb.connect(config={"threads": 1})
+        con.register("l", left_t)
+        con.register("r", right_t)
+        sql = {
+            "inner": "SELECT a FROM l JOIN r USING (k)",
+            "left": "SELECT a FROM l LEFT JOIN r ON l.k = r.k",
+            "outer": "SELECT a, b FROM l FULL OUTER JOIN r ON l.k = r.k",
+            "semi": "SELECT a FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+            "anti": "SELECT a FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+        }
+        def key(t):
+            return tuple(-1 if v is None else v for v in t)
+
+        for how, q in sql.items():
+            got = bucketed_join(
+                rd.from_arrow(left_t),
+                rd.from_arrow(right_t),
+                on="k",
+                num_buckets=4,
+                how=how,
+            ).to_pandas()
+            want = con.sql(q).df()
+            if how == "outer":
+                g = [
+                    (None if pd.isna(x) else int(x), None if pd.isna(y) else int(y))
+                    for x, y in zip(got["a"], got["b"])
+                ]
+                w = [
+                    (None if pd.isna(x) else int(x), None if pd.isna(y) else int(y))
+                    for x, y in zip(want["a"], want["b"])
+                ]
+                assert sorted(g, key=key) == sorted(w, key=key), how
+            else:
+                assert sorted(
+                    int(x) for x in got["a"] if not pd.isna(x)
+                ) == sorted(int(x) for x in want["a"]), how
+
     def test_asof_join_preserves_int_dtypes_with_unmatched_rows(self):
         import ray.data as rd
 
