@@ -63,6 +63,10 @@ def broadcast_join(
         def join_arrow(batch: pa.Table) -> pa.Table:
             small = ray.get(small_ref)  # local zero-copy read after first fetch
             idx = pc.index_in(batch[on], value_set=small["keys"])
+            # SQL null semantics: Arrow's index_in MATCHES null probe
+            # keys to a null in the value set — null out those hits so a
+            # null key never joins (inner drops it, left nulls it)
+            idx = pc.if_else(pc.is_valid(batch[on]), idx, pa.scalar(None, pa.int32()))
             if how == "inner":
                 valid = pc.is_valid(idx)
                 batch = batch.filter(valid)
@@ -83,8 +87,11 @@ def broadcast_join(
         return big.map_batches(join_arrow, batch_format="pyarrow", zero_copy_batch=True)
 
     small_pdf = small_tbl.to_pandas()
-    small_ref = ray.put(small_pdf)
     key_cols = {on} if single_key else set(on)
+    # SQL null semantics: pandas merge matches NaN↔NaN — a null-keyed
+    # small-side row must never match, so drop it before broadcasting
+    small_pdf = small_pdf.dropna(subset=list(key_cols))
+    small_ref = ray.put(small_pdf)
 
     def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
         small = ray.get(small_ref)

@@ -420,6 +420,36 @@ class TestJoins:
                     int(x) for x in got["a"] if not pd.isna(x)
                 ) == sorted(int(x) for x in want["a"]), how
 
+    def test_broadcast_join_null_keys_follow_sql_semantics(self):
+        """Arrow index_in matches null probe keys to a null in the value
+        set, and the pandas fallback matches NaN↔NaN — both must be
+        neutralized: a null key never joins."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.relational import broadcast_join
+
+        big_t = pa.table(
+            {
+                "k": pa.array([1, None, 3], pa.int64()),
+                "a": pa.array([10, 20, 30], pa.int64()),
+            }
+        )
+        # unique small side WITH a null key → arrow fast path
+        small = pd.DataFrame({"k": pd.array([1, None], dtype="float64"), "b": [100.0, 200.0]})
+        inner = broadcast_join(rd.from_arrow(big_t), small, on="k").to_pandas()
+        assert inner["a"].tolist() == [10]  # null never matches
+        left = broadcast_join(rd.from_arrow(big_t), small, on="k", how="left").to_pandas()
+        assert sorted(left["a"]) == [10, 20, 30]
+        assert left.set_index("a").loc[20, "b"] != left.set_index("a").loc[20, "b"] or pd.isna(
+            left.set_index("a").loc[20, "b"]
+        )
+        # duplicate-key small side → pandas fallback, same rule
+        small_dup = pd.DataFrame(
+            {"k": pd.array([1, 1, None], dtype="float64"), "b": [100.0, 101.0, 200.0]}
+        )
+        got = broadcast_join(rd.from_arrow(big_t), small_dup, on="k").to_pandas()
+        assert sorted(got["b"]) == [100.0, 101.0]  # only k=1 matches, twice
+
     def test_asof_join_preserves_int_dtypes_with_unmatched_rows(self):
         import ray.data as rd
 
