@@ -403,6 +403,11 @@ def asof_join(
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["_side"] == 0][l_cols].sort_values(ts, kind="mergesort")
         rhs = group[group["_side"] == 1][r_cols].sort_values(ts, kind="mergesort")
+        # SQL null semantics (same rule as bucketed_join): a null key
+        # never matches — drop null-keyed right rows so merge_asof's
+        # NaN-matching `by` grouping can't pair them; null-keyed LEFT
+        # rows survive unmatched (left-join contract)
+        rhs = rhs[rhs[key].notna()]
         return pd.merge_asof(
             lhs, rhs, on=ts, by=key, direction="backward",
             suffixes=("", suffix_right),
