@@ -133,3 +133,172 @@ def connected_components(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+PAGERANK_SCALE = 10**12  # total rank mass in integer quanta
+
+
+def pagerank(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    damping_pct: int = 85,
+) -> Dataset:
+    """Integer fixed-point PageRank → (node:int64, rank_q:int64).
+
+    The web-scale corpus-curation weight (link centrality as a quality
+    prior). All arithmetic is int64 fixed-point over a total mass of
+    ``PAGERANK_SCALE`` quanta with FLOOR division everywhere, so every
+    iteration is exactly order-independent — the result is bit-identical
+    under any block layout / merge order and therefore testable (float
+    PageRank partial sums drift with the fold shape). Floor division
+    leaks ≤ 1 quantum per node per round (≤ iters·N·10⁻¹² of the mass),
+    a bias far below any ranking decision and the price of determinism.
+
+    Per iteration (all exchanges bounded, nothing corpus-sized on the
+    driver):
+      1. contribs: edges ⋈ (rank, out-degree) bucketed on src —
+         each edge carries ``rank_q // deg`` to its dst;
+      2. incoming: one two-phase hash sum keyed by dst;
+      3. dangling mass (nodes with no out-edges) + teleport fold back
+         in: ranks LEFT-join incoming bucketed on node, then
+         ``new = (100-d)%·TOTAL/N + d%·(in + dangling/N)`` in ints.
+    Dangling/teleport totals are single-row folds, never a node list on
+    the driver.
+    """
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    def proj(a: str, b: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t[a], "other": t[b]})
+
+        return fn
+
+    # node universe = src ∪ dst (a node with only in-edges still ranks)
+    nodes = two_phase_agg(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays(
+                    [c.combine_chunks() for c in (pc.cast(t[src_col], pa.int64()),
+                                                  pc.cast(t[dst_col], pa.int64()))]
+                )}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["node"],
+        [("node", "count", "_n")],
+    ).map_batches(
+        lambda t: t.drop_columns(["_n"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge set")
+
+    deg = two_phase_agg(
+        edges.map_batches(
+            lambda t: pa.table({"node": pc.cast(t[src_col], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["node"],
+        [("node", "count", "deg")],
+    )
+
+    base_q = PAGERANK_SCALE // n_nodes
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank_q", pa.array([base_q] * t.num_rows, pa.int64())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    edges64 = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pc.cast(t[src_col], pa.int64()),
+                "dst": pc.cast(t[dst_col], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # consumed once per iteration
+
+    def _scalar_sum(ds: Dataset, col: str) -> int:
+        t = two_phase_agg(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {"k": pa.array([0] * b.num_rows, pa.int64()), "v": b[col]}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["k"],
+            [("v", "sum", "s")],
+        ).take_all()
+        return int(t[0]["s"]) if t else 0
+
+    for _ in range(iters):
+        # rank+degree on the rank side; nodes with no out-edges are
+        # dangling (deg null after the left join)
+        rd_join = bucketed_join(ranks, deg, on="node", how="left").materialize()
+        dangling_q = _scalar_sum(
+            rd_join.map_batches(
+                lambda b: pa.table(
+                    {
+                        "d_q": pc.if_else(
+                            pc.is_valid(b["deg"]),
+                            pa.array([0] * b.num_rows, pa.int64()),
+                            b["rank_q"],
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "d_q",
+        )
+        contribs = bucketed_join(
+            edges64,
+            rd_join.map_batches(
+                lambda b: b.filter(pc.is_valid(b["deg"])),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            on="node",
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"],
+                    "in_q": pc.divide(b["rank_q"], b["deg"]),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        incoming = two_phase_agg(contribs, ["node"], [("in_q", "sum", "in_q")])
+        teleport_q = (100 - damping_pct) * PAGERANK_SCALE // 100 // n_nodes
+        dangling_share = dangling_q // n_nodes
+
+        def renew(b: pa.Table) -> pa.Table:
+            in_q = pc.fill_null(pc.cast(b["in_q"], pa.int64()), 0)
+            new = pc.add(
+                pa.array([teleport_q] * b.num_rows, pa.int64()),
+                pc.divide(
+                    pc.multiply(
+                        pc.add(in_q, pa.array([dangling_share] * b.num_rows, pa.int64())),
+                        pa.scalar(damping_pct, pa.int64()),
+                    ),
+                    pa.scalar(100, pa.int64()),
+                ),
+            )
+            return pa.table({"node": b["node"], "rank_q": new})
+
+        ranks = (
+            bucketed_join(nodes, incoming, on="node", how="left")
+            .map_batches(renew, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+    return ranks

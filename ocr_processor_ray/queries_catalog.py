@@ -2152,6 +2152,64 @@ def q_docs_exact_jaccard_pairs(sf_dir: str):
     return inter.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_purchase_graph_pagerank(sf_dir: str):
+    """Link-centrality weighting (integer fixed-point PageRank) over the
+    customer→supplier purchase graph — the web-graph quality-prior
+    pattern applied to the relational data: edges come from one bucketed
+    orders⋈lineitem join (never a driver-side edge list), node ids are
+    disjointly encoded (2·custkey vs 2·suppkey+1), and every iteration
+    is bounded joins + one hash sum in exact int64 quanta (bit-identical
+    under any block layout — see graph.pagerank). Rows-only: iterative,
+    not SQL-expressible; determinism + exact-integer-reference parity
+    are pytest-pinned."""
+    from ocr_processor_ray.functions.graph import pagerank
+    from ocr_processor_ray.functions.relational import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    edges = bucketed_join(orders, li, on="o_orderkey").map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.add(
+                    pc.multiply(b["o_custkey"], pa.scalar(2, pa.int64())),
+                    pa.scalar(0, pa.int64()),
+                ),
+                "dst": pc.add(
+                    pc.multiply(
+                        pc.cast(b["l_suppkey"], pa.int64()),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ranks = pagerank(edges, iters=3)
+
+    def decode(b: pa.Table) -> pa.Table:
+        is_supp = pc.equal(
+            pc.bit_wise_and(b["node"], pa.scalar(1, pa.int64())),
+            pa.scalar(1, pa.int64()),
+        )
+        return pa.table(
+            {
+                "node_type": pc.if_else(is_supp, "supplier", "customer"),
+                "entity_id": pc.divide(b["node"], pa.scalar(2, pa.int64())),
+                "rank_q": b["rank_q"],
+            }
+        )
+
+    return ranks.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_embedding_pca(sf_dir: str):
     """Distributed PCA over the full embedding corpus + projection of
     every vector onto the top-2 components (the whitening /
@@ -2818,6 +2876,7 @@ QUERIES = {
     "docs_length_outliers": q_docs_length_outliers,
     "docs_exact_jaccard_pairs": q_docs_exact_jaccard_pairs,
     "embedding_pca": q_embedding_pca,
+    "purchase_graph_pagerank": q_purchase_graph_pagerank,
     "events_rollup": q_events_rollup,
     "docs_split_assign": q_docs_split_assign,
     "events_user_deltas": q_events_user_deltas,

@@ -1709,3 +1709,65 @@ class TestVideoHeaderMeta:
         mv = (8 + len(bad_mvhd)).to_bytes(4, "big") + b"mvhd" + bad_mvhd
         mo = (8 + len(mv)).to_bytes(4, "big") + b"moov" + mv
         assert video_header_meta(ftyp + mo) == ("mp4", 0, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPageRank:
+    EDGES = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (6, 3), (3, 7),
+        (7, 3), (8, 9),  # 9 is dangling (no out-edges)
+    ]
+
+    def _edges_ds(self, repartition=None):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "src": pa.array([a for a, _ in self.EDGES], pa.int64()),
+                "dst": pa.array([b for _, b in self.EDGES], pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        return ds.repartition(repartition) if repartition else ds
+
+    def _reference(self, iters=5, damping_pct=85):
+        """Same integer arithmetic, dense numpy."""
+        from ocr_processor_ray.functions.graph import PAGERANK_SCALE
+
+        nodes = sorted({x for e in self.EDGES for x in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        deg = {u: 0 for u in nodes}
+        for a, _ in self.EDGES:
+            deg[a] += 1
+        rank = {u: PAGERANK_SCALE // n for u in nodes}
+        for _ in range(iters):
+            dangling = sum(rank[u] for u in nodes if deg[u] == 0)
+            inc = {u: 0 for u in nodes}
+            for a, b in self.EDGES:
+                inc[b] += rank[a] // deg[a]
+            tele = (100 - damping_pct) * PAGERANK_SCALE // 100 // n
+            share = dangling // n
+            rank = {u: tele + (inc[u] + share) * damping_pct // 100 for u in nodes}
+        return rank
+
+    def test_matches_integer_reference_exactly(self):
+        from ocr_processor_ray.functions.graph import pagerank
+
+        got = pagerank(self._edges_ds(), iters=5).to_pandas()
+        want = self._reference(iters=5)
+        assert dict(zip(got["node"], got["rank_q"])) == want
+        # sanity: the hub (3) out-ranks everything; a leaf with one
+        # incoming edge (9) out-ranks sources nobody links to
+        r = want
+        assert r[3] == max(r.values())
+        assert r[9] > r[8]
+
+    def test_bit_identical_across_block_layouts(self):
+        from ocr_processor_ray.functions.graph import pagerank
+
+        a = pagerank(self._edges_ds(), iters=3).to_pandas()
+        b = pagerank(self._edges_ds(repartition=7), iters=3).to_pandas()
+        da = dict(zip(a["node"], a["rank_q"]))
+        db = dict(zip(b["node"], b["rank_q"]))
+        assert da == db
