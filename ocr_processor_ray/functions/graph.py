@@ -169,12 +169,6 @@ def pagerank(
     """
     from ocr_processor_ray.functions.relational import bucketed_join
 
-    def proj(a: str, b: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t[a], "other": t[b]})
-
-        return fn
-
     # node universe = src ∪ dst (a node with only in-edges still ranks)
     nodes = two_phase_agg(
         edges.map_batches(
@@ -191,7 +185,7 @@ def pagerank(
         [("node", "count", "_n")],
     ).map_batches(
         lambda t: t.drop_columns(["_n"]), batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()  # consumed every iteration (join + renew) — pin once
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty edge set")
@@ -204,7 +198,7 @@ def pagerank(
         ),
         ["node"],
         [("node", "count", "deg")],
-    )
+    ).materialize()  # static across iterations — pin once
 
     base_q = PAGERANK_SCALE // n_nodes
     ranks = nodes.map_batches(
@@ -227,18 +221,16 @@ def pagerank(
     ).materialize()  # consumed once per iteration
 
     def _scalar_sum(ds: Dataset, col: str) -> int:
-        t = two_phase_agg(
-            ds.map_batches(
-                lambda b: pa.table(
-                    {"k": pa.array([0] * b.num_rows, pa.int64()), "v": b[col]}
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+        # one int64 per block to the driver (same shape as
+        # connected_components._label_sum) — no extra exchange
+        p = ds.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b[col]).as_py() or 0], pa.int64())}
             ),
-            ["k"],
-            [("v", "sum", "s")],
-        ).take_all()
-        return int(t[0]["s"]) if t else 0
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return sum(r["s"] for r in p.take_all())
 
     for _ in range(iters):
         # rank+degree on the rank side; nodes with no out-edges are

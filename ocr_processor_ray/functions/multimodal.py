@@ -295,13 +295,26 @@ class FrameSample:
                     container.seek(
                         int(target_s * 1_000_000), any_frame=False
                     )
+                    hit = last = None
                     for fr in container.decode(stream):
+                        last = fr
                         if fr.time is None or fr.time >= target_s:
-                            ts_ms = int((fr.time or 0.0) * 1000)
-                            buf = io.BytesIO()
-                            fr.to_image().save(buf, format="JPEG")
-                            out.append((i, ts_ms, buf.getvalue()))
+                            hit = fr
                             break
+                    # container duration can overstate the last video
+                    # frame's timestamp (truncated payload, audio
+                    # outlasting video): fall back to the burst's last
+                    # decoded frame, then STOP — every later target is
+                    # larger and would re-decode the same tail for the
+                    # same miss
+                    fr = hit or last
+                    if fr is not None:
+                        ts_ms = int((fr.time or 0.0) * 1000)
+                        buf = io.BytesIO()
+                        fr.to_image().save(buf, format="JPEG")
+                        out.append((i, ts_ms, buf.getvalue()))
+                    if hit is None:
+                        break
                 return out
         except Exception:
             return []  # unparsable payload → zero frames, never raises

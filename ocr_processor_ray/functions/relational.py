@@ -41,7 +41,19 @@ def broadcast_join(
     batch); it requires a single key that is UNIQUE on the small side
     (the lookup-join contract). Multi-key or duplicate-key small sides
     fall back to a pandas merge.
+
+    ``how`` ∈ {"inner", "left"} only: a per-batch broadcast join cannot
+    implement outer/right semantics — each map task would emit the
+    small rows unmatched in ITS batch, duplicating a globally-unmatched
+    small row once per block. Use ``bucketed_join`` for those.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join supports how='inner'/'left', got {how!r}; "
+            "outer/right need a partitioned join (bucketed_join) — a "
+            "per-batch broadcast would duplicate unmatched small rows "
+            "once per block"
+        )
     small_tbl = (
         pa.Table.from_pandas(small_df, preserve_index=False)
         if isinstance(small_df, pd.DataFrame)
@@ -63,9 +75,13 @@ def broadcast_join(
         def join_arrow(batch: pa.Table) -> pa.Table:
             small = ray.get(small_ref)  # local zero-copy read after first fetch
             idx = pc.index_in(batch[on], value_set=small["keys"])
-            # SQL null semantics: Arrow's index_in MATCHES null probe
-            # keys to a null in the value set — null out those hits so a
-            # null key never joins (inner drops it, left nulls it)
+            # Defensive SQL-null guard: Arrow's index_in MATCHES a null
+            # probe to a null in the value set. TODAY this path is only
+            # reached with a null-free small side (count_distinct ignores
+            # nulls, so a null-bearing small side fails the uniqueness
+            # check and routes to the fallback) — the guard exists so a
+            # future change to that eligibility test cannot silently
+            # reintroduce null-matching.
             idx = pc.if_else(pc.is_valid(batch[on]), idx, pa.scalar(None, pa.int32()))
             if how == "inner":
                 valid = pc.is_valid(idx)

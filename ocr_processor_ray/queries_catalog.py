@@ -2121,16 +2121,15 @@ def q_docs_exact_jaccard_pairs(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # candidate pairs are mostly UNIQUE keys, so partials barely reduce
-    # and the default combine threshold would route 10^6 rows into the
-    # partitioned (sort-shuffle) fallback — measured 3× the whole
-    # query's cost. A one-worker hash combine handles 5M pair rows
-    # (~160 MB) in tens of ms; past that the fallback is the right call.
+    # candidate pairs are mostly UNIQUE keys, so partials barely reduce:
+    # ~10^6 pair rows reach the combine at sf0.1 (well under the 5M
+    # one-worker default, ~160 MB at the limit); past the default the
+    # partitioned fallback is the right call — at corpus scale the pair
+    # count is bounded by hot-shingle co-occurrence, not corpus size.
     inter = two_phase_agg(
         co,
         ["id_a", "id_b", "n_a", "n_b"],
         [("id_a", "count", "inter")],
-        max_combine_rows=5_000_000,
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -434,7 +434,10 @@ class TestJoins:
                 "a": pa.array([10, 20, 30], pa.int64()),
             }
         )
-        # unique small side WITH a null key → arrow fast path
+        # a null key in the small side fails the uniqueness check
+        # (count_distinct ignores nulls) → routes to the pandas
+        # fallback; the fast path only ever sees null-free value sets
+        # and carries a defensive guard besides
         small = pd.DataFrame({"k": pd.array([1, None], dtype="float64"), "b": [100.0, 200.0]})
         inner = broadcast_join(rd.from_arrow(big_t), small, on="k").to_pandas()
         assert inner["a"].tolist() == [10]  # null never matches
@@ -449,6 +452,21 @@ class TestJoins:
         )
         got = broadcast_join(rd.from_arrow(big_t), small_dup, on="k").to_pandas()
         assert sorted(got["b"]) == [100.0, 101.0]  # only k=1 matches, twice
+        # null-free UNIQUE small side → arrow fast path; the big side's
+        # null-keyed row must not match (inner drops, left nulls)
+        small_u = pd.DataFrame({"k": [1, 3], "b": [100.0, 300.0]})
+        fast_inner = broadcast_join(rd.from_arrow(big_t), small_u, on="k").to_pandas()
+        assert sorted(fast_inner["a"]) == [10, 30]
+        fast_left = broadcast_join(
+            rd.from_arrow(big_t), small_u, on="k", how="left"
+        ).to_pandas()
+        assert sorted(fast_left["a"]) == [10, 20, 30]
+        assert pd.isna(fast_left.set_index("a").loc[20, "b"])
+        # outer is not implementable per-batch → loud refusal
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="inner.*left"):
+            broadcast_join(rd.from_arrow(big_t), small_u, on="k", how="outer")
 
     def test_asof_join_preserves_int_dtypes_with_unmatched_rows(self):
         import ray.data as rd
