@@ -5,11 +5,16 @@ Default mode: one fresh Ray session at ``RAY_GRAFT_CPUS`` (default 32),
 runs the headline flagship extraction pipeline over a deterministic
 synthetic transcript corpus (~500k turns, cached in /tmp) plus the
 catalog queries over ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
-and prints ONE JSON line:
+and prints ONE compact JSON line (the driver captures only the last
+2000 chars of stdout, so the line is budgeted to fit):
 
     {"metric": "...", "value": <headline sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
-     "turns": N, "turns_per_sec": N}
+     "queries": {...tracked heavy queries...}, "n_queries": N,
+     "queries_total_sec": S, "sf": ..., "num_cpus": N,
+     "turns": N, "turns_per_sec": N, "details": "BENCH_DETAILS.json"}
+
+The complete result (all per-query times + every timing sample) is
+written to BENCH_DETAILS.json next to this file.
 
 ``--scaling``: runs the headline pipeline in two fresh subprocesses
 (num_cpus=8 and 32) on the same corpus and prints throughput at both
@@ -406,10 +411,96 @@ def run_scaling() -> dict:
     }
 
 
+# The driver captures only the LAST 2000 characters of stdout and parses
+# the final line as JSON (BENCH_r04 had `parsed: null` because the full
+# per-query sample lists outgrew that window). The final printed line is
+# therefore a compact summary hard-capped below the window; the complete
+# result — every query time and every timing sample — is written to
+# BENCH_DETAILS.json next to this file.
+_FINAL_LINE_BUDGET = 1800
+
+# queries surfaced in the compact line: the heavy/tracked pipelines from
+# the round-over-round perf table (everything else lives in the details
+# file, summarized by n_queries / queries_total_sec / queries_max)
+_COMPACT_QUERIES = [
+    "minhash_pairs",
+    "conversations_near_dedup",
+    "embedding_clusters",
+    "embedding_kmeans",
+    "training_corpus",
+    "building_segment_revenue",
+    "revenue_by_nation",
+    "top_orders_revenue",
+    "events_asof_purchase",
+    "docs_exact_jaccard_pairs",
+    "simhash_pairs",
+    "conversation_line_dedup",
+]
+
+
+def _compact_line(full: dict) -> str:
+    """Summarize `full` into one JSON line that fits the driver's capture.
+
+    Progressively drops optional keys if (never observed) the line still
+    exceeds the budget — the headline metric always survives.
+    """
+    compact = {
+        k: full[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "num_cpus",
+            "turns",
+            "turns_per_sec",
+            "checkpointed_sec",
+            "checkpointed_turns_per_sec",
+            "conversations_sec",
+            "n_conversations",
+        )
+        if k in full
+    }
+    qt = full.get("queries") or {}
+    if qt:
+        compact["n_queries"] = len(qt)
+        compact["queries_total_sec"] = round(sum(qt.values()), 3)
+        compact["queries_max"] = max(qt.items(), key=lambda kv: kv[1])
+        compact["queries"] = {n: qt[n] for n in _COMPACT_QUERIES if n in qt}
+    compact["details"] = "BENCH_DETAILS.json"
+    for drop in ("queries", "queries_max", "metric"):
+        line = json.dumps(compact)
+        if len(line) <= _FINAL_LINE_BUDGET:
+            return line
+        compact.pop(drop, None)
+    return json.dumps(compact)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        full = run_scaling()
+        details_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+        )
+        with open(details_path, "w") as f:
+            json.dump(full, f, indent=1)
+        line = json.dumps(full)
+        if len(line) > _FINAL_LINE_BUDGET:  # never observed: ~700 chars at 5 pairs
+            full["pairs"] = full["pairs"][:3]
+            line = json.dumps(full)
+        print(line)
     else:
         if os.environ.get("OPR_BENCH_HEADLINE_ONLY"):
             BENCH_QUERIES = []
-        print(json.dumps(run_bench()))
+        full = run_bench()
+        if not os.environ.get("OPR_BENCH_HEADLINE_ONLY"):
+            details_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+            )
+            with open(details_path, "w") as f:
+                json.dump(full, f, indent=1)
+            print(_compact_line(full))
+        else:
+            # scaling subprocesses parse this full dict — keep it intact
+            # (headline-only output is small: no query lists)
+            print(json.dumps(full))
