@@ -13,7 +13,11 @@ Scale shapes (100 TB honest):
                    corpus size) → emit candidate pairs per exact
                    (band, band_key) inside the task → verify with exact
                    shingle Jaccard via a bucketed self-join that ships
-                   only the CANDIDATE pairs' texts through the shuffle.
+                   only the CANDIDATE pairs' texts through the shuffle
+                   (docs are pre-filtered against the broadcast candidate
+                   id set; over-budget sets fall back to full-docs
+                   bucketed attach with a logged warning — see
+                   ``_bucketed_pair_verify``).
                    Candidate generation moves (band_key, doc_id) pairs —
                    16 bytes/row/band — never document text; nothing is
                    ever materialized on the driver.
@@ -35,6 +39,7 @@ import logging
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 logger = logging.getLogger(__name__)
@@ -400,6 +405,73 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+# candidate-id broadcast budget for the verify text-attach: 20M distinct
+# int64 ids ≈ 160 MB object — ships to each node once via the object
+# store. Beyond it the verify falls back to moving the full docs side
+# through the bucketed exchange (correct, per-task bounded, just wider).
+_BROADCAST_ID_LIMIT = 20_000_000
+
+
+def _distinct_pair_ids(pairs: Dataset, col: str) -> np.ndarray | None:
+    """Distinct candidate ids of one pair side as a SORTED int64 array,
+    or None when the set exceeds the broadcast budget.
+
+    Streams only the single int64 column to the driver (16 B per pair,
+    already bounded upstream by per-bucket candidate truncation) — never
+    text. Sorted so membership tests are a vectorized searchsorted."""
+    parts: list[np.ndarray] = []
+    total = 0
+    for b in pairs.select_columns([col]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        u = pc.unique(b[col]).to_numpy(zero_copy_only=False)
+        parts.append(u)
+        total += u.size
+        # per-batch-unique total overestimates the global distinct count;
+        # bail only when even the overestimate's floor is over budget
+        if total > 8 * _BROADCAST_ID_LIMIT:
+            logger.warning(
+                "pair-verify: candidate %s set exceeds the broadcast budget "
+                "(>%d ids seen); falling back to full-docs bucketed attach",
+                col,
+                total,
+            )
+            return None
+    ids = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    ).astype(np.int64, copy=False)
+    if ids.size > _BROADCAST_ID_LIMIT:
+        logger.warning(
+            "pair-verify: %d distinct %s candidates exceed the broadcast "
+            "budget (%d); falling back to full-docs bucketed attach",
+            ids.size,
+            col,
+            _BROADCAST_ID_LIMIT,
+        )
+        return None
+    return ids
+
+
+def _restrict_to_ids(docs: Dataset, id_col: str, ids: "np.ndarray | None") -> Dataset:
+    """Filter ``docs`` to rows whose ``id_col`` is in the broadcast sorted
+    id array — a local, shuffle-free semi-join applied before the text
+    exchange. ``ids=None`` (over budget) passes docs through unchanged."""
+    if ids is None:
+        return docs
+    ids_ref = ray.put(ids)
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = ray.get(ids_ref)  # local zero-copy read after first fetch
+        keys = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        if arr.size == 0:
+            return t.slice(0, 0)
+        pos = np.searchsorted(arr, keys)
+        pos[pos == arr.size] = 0  # out-of-range probes can't match anyway
+        return t.filter(pa.array(arr[pos] == keys))
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _bucketed_pair_verify(
     raw_pairs: Dataset,
     docs: Dataset,
@@ -409,15 +481,31 @@ def _bucketed_pair_verify(
     num_buckets: int,
 ) -> Dataset:
     """Dedup candidate pairs and verify exact Jaccard in TWO bucketed
-    shuffles, fully Arrow-native, with no driver-side materialization.
+    shuffles, fully Arrow-native.
 
     Shuffle 1 keys both the raw (id_a, id_b) candidates and the docs by
     ``id_a % B``: every duplicate of a pair (one per agreeing band)
     co-locates with id_a's text, so the task dedups (group_by count →
     n_bands) AND attaches text_a in one pass. Shuffle 2 re-keys by
-    ``id_b % B`` to attach text_b, then verifies Jaccard in-task. Only
-    candidate rows + each bucket's doc texts move; per-task input is
-    bounded by the bucket count."""
+    ``id_b % B`` to attach text_b, then verifies Jaccard in-task.
+
+    The docs side is RESTRICTED to the candidate ids before each text
+    exchange: the distinct id_a / id_b sets (int64, bounded upstream by
+    per-bucket candidate truncation) are broadcast via ``ray.put`` and
+    each docs batch is filtered locally with a sorted-array membership
+    test, so only the candidate pairs' texts cross the wire. Candidates
+    are typically sparse, so this moves a small fraction of the corpus
+    instead of all of it — twice. When a candidate side exceeds the
+    broadcast budget (``_BROADCAST_ID_LIMIT`` distinct ids — never at
+    current scales), it falls back, with a logged warning, to shipping
+    that side's full docs through the exchange, which stays correct and
+    per-task bounded (corpus/B per bucket). Only the int64 id columns of
+    the pairs ever land on the driver."""
+    # consumed three times below (id_a scan, id_b scan, stage-1 union) —
+    # pin the bounded candidate set instead of re-running LSH per consumer
+    raw_pairs = raw_pairs.materialize()
+    ids_a = _distinct_pair_ids(raw_pairs, "id_a")
+    ids_b = _distinct_pair_ids(raw_pairs, "id_b")
 
     def _tag(side: int, key: str, cols: dict):
         """Pad to the stage's union schema + bucket by ``key % B``."""
@@ -441,7 +529,7 @@ def _bucketed_pair_verify(
         "id_b": pa.int64(),
         "text_a": pa.string(),
     }
-    docs_a = docs.map_batches(
+    docs_a = _restrict_to_ids(docs, id_col, ids_a).map_batches(
         lambda t: pa.table(
             {"id_a": pc.cast(t[id_col], pa.int64()), "text_a": t[text_col]}
         ),
@@ -475,6 +563,17 @@ def _bucketed_pair_verify(
             }
         )
 
+    # When both candidate id sets fit the broadcast budget, the verify
+    # working set is bounded (pairs + restricted texts), but it arrives
+    # as one near-empty filtered block per upstream read block — and the
+    # groupby's sort machinery pays per-block fixed costs (measured
+    # ~2× on 128 micro-blocks). Coalesce to the exchange's real
+    # parallelism (one block per bucket). In the over-budget fallback
+    # the unions stay as-is: there the data is genuinely wide and an
+    # extra full repartition pass would only add movement.
+    coalesce = ids_a is not None and ids_b is not None
+    if coalesce:
+        stage1 = stage1.repartition(num_buckets)
     halved = stage1.groupby("_bucket").map_groups(merge_a, batch_format="pyarrow")
 
     s2_cols = {
@@ -484,7 +583,7 @@ def _bucketed_pair_verify(
         "text_a": pa.string(),
         "text_b": pa.string(),
     }
-    docs_b = docs.map_batches(
+    docs_b = _restrict_to_ids(docs, id_col, ids_b).map_batches(
         lambda t: pa.table(
             {"id_b": pc.cast(t[id_col], pa.int64()), "text_b": t[text_col]}
         ),
@@ -531,6 +630,8 @@ def _bucketed_pair_verify(
         )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
+    if coalesce:
+        stage2 = stage2.repartition(num_buckets)
     return stage2.groupby("_bucket").map_groups(merge_b_verify, batch_format="pyarrow")
 
 
