@@ -472,40 +472,159 @@ def _restrict_to_ids(docs: Dataset, id_col: str, ids: "np.ndarray | None") -> Da
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _bucketed_pair_verify(
+# candidate payload broadcast budget for the verify fast path: the
+# restricted (id, payload) table ships to each node once via the object
+# store. Past it the verify uses the two bucketed attach exchanges.
+_BROADCAST_PAYLOAD_BYTES = 256 << 20
+
+
+def _broadcast_pair_verify(
     raw_pairs: Dataset,
     docs: Dataset,
     id_col: str,
-    text_col: str,
-    threshold: float,
+    payload_col: str,
+    payload_type: pa.DataType,
+    ids_all: np.ndarray,
+    finalize,
+) -> "Dataset | None":
+    """Shuffle-free verify: dedup pairs with a two-phase count agg and
+    look both payloads up from a broadcast (id, payload) table.
+
+    Returns None when the restricted payload table exceeds the broadcast
+    budget (caller falls back to the bucketed attach exchanges). The
+    payload table is bounded by the candidate id set — it is pulled to
+    the driver once, sorted by id, and ``ray.put`` once."""
+    mini = (
+        _restrict_to_ids(docs, id_col, ids_all)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "_id": pc.cast(t[id_col], pa.int64()),
+                    "_pay": pc.cast(t[payload_col], payload_type),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    if mini.size_bytes() > _BROADCAST_PAYLOAD_BYTES:
+        logger.warning(
+            "pair-verify: candidate payload table is %d bytes > broadcast "
+            "budget %d; using bucketed attach exchanges",
+            mini.size_bytes(),
+            _BROADCAST_PAYLOAD_BYTES,
+        )
+        return None
+    # 0-row blocks can carry a degenerate empty schema — drop them before
+    # concat (when nothing remains, the pair set is empty too: an empty
+    # sorted lookup keeps attach_and_verify total, though it never runs)
+    tabs = [x for x in ray.get(mini.to_arrow_refs()) if x.num_rows]
+    if tabs:
+        t = pa.concat_tables(tabs)
+        ids_np = t["_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_np)
+        lookup = {
+            "ids": ids_np[order],
+            "pay": t["_pay"].combine_chunks().take(pa.array(order)),
+        }
+    else:
+        lookup = {
+            "ids": np.empty(0, np.int64),
+            "pay": pa.array([], payload_type),
+        }
+    lookup_ref = ray.put(lookup)
+
+    from ocr_processor_ray.functions.agg import two_phase_agg
+
+    # the small-cardinality combine path emits ONE block — resplit so the
+    # vectorized verify parallelizes (~100k pairs per task bounds the
+    # transient pay_a/pay_b columns; pair rows are 24 B so the
+    # repartition itself is cheap)
+    uniq = two_phase_agg(
+        raw_pairs, ["id_a", "id_b"], [("id_a", "count", "n_agree")]
+    ).materialize()
+    n_blocks = int(min(256, uniq.count() // 100_000 + 1))
+    uniq = uniq.repartition(n_blocks)
+
+    def attach_and_verify(b: pa.Table) -> pa.Table:
+        lut = ray.get(lookup_ref)  # local zero-copy read after first fetch
+        ia = np.searchsorted(lut["ids"], b["id_a"].to_numpy(zero_copy_only=False))
+        ib = np.searchsorted(lut["ids"], b["id_b"].to_numpy(zero_copy_only=False))
+        return finalize(
+            pa.table(
+                {
+                    "id_a": pc.cast(b["id_a"], pa.int64()),
+                    "id_b": pc.cast(b["id_b"], pa.int64()),
+                    "n_agree": pc.cast(b["n_agree"], pa.int64()),
+                    "pay_a": lut["pay"].take(pa.array(ia)),
+                    "pay_b": lut["pay"].take(pa.array(ib)),
+                }
+            )
+        )
+
+    return uniq.map_batches(
+        attach_and_verify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def bucketed_pair_verify(
+    raw_pairs: Dataset,
+    docs: Dataset,
+    id_col: str,
+    payload_col: str,
+    payload_type: pa.DataType,
     num_buckets: int,
+    finalize,
 ) -> Dataset:
-    """Dedup candidate pairs and verify exact Jaccard in TWO bucketed
-    shuffles, fully Arrow-native.
+    """Dedup candidate pairs and attach each side's payload in TWO
+    bucketed shuffles, fully Arrow-native; score with ``finalize``.
 
     Shuffle 1 keys both the raw (id_a, id_b) candidates and the docs by
-    ``id_a % B``: every duplicate of a pair (one per agreeing band)
-    co-locates with id_a's text, so the task dedups (group_by count →
-    n_bands) AND attaches text_a in one pass. Shuffle 2 re-keys by
-    ``id_b % B`` to attach text_b, then verifies Jaccard in-task.
+    ``id_a % B``: every duplicate of a pair (one per agreeing LSH
+    band/table) co-locates with id_a's payload, so the task dedups
+    (group_by count → ``n_agree``) AND attaches pay_a in one pass.
+    Shuffle 2 re-keys by ``id_b % B`` to attach pay_b, then calls
+    ``finalize(pairs)`` in-task on a table with columns
+    (id_a, id_b, n_agree, pay_a, pay_b) — it computes the exact
+    similarity, filters, and names the output columns.
 
-    The docs side is RESTRICTED to the candidate ids before each text
+    The docs side is RESTRICTED to the candidate ids before each payload
     exchange: the distinct id_a / id_b sets (int64, bounded upstream by
     per-bucket candidate truncation) are broadcast via ``ray.put`` and
     each docs batch is filtered locally with a sorted-array membership
-    test, so only the candidate pairs' texts cross the wire. Candidates
-    are typically sparse, so this moves a small fraction of the corpus
-    instead of all of it — twice. When a candidate side exceeds the
-    broadcast budget (``_BROADCAST_ID_LIMIT`` distinct ids — never at
-    current scales), it falls back, with a logged warning, to shipping
-    that side's full docs through the exchange, which stays correct and
-    per-task bounded (corpus/B per bucket). Only the int64 id columns of
-    the pairs ever land on the driver."""
+    test, so only the candidate pairs' payloads cross the wire.
+    Candidates are typically sparse, so this moves a small fraction of
+    the corpus instead of all of it — twice. When a candidate side
+    exceeds the broadcast budget (``_BROADCAST_ID_LIMIT`` distinct ids —
+    never at current scales), it falls back, with a logged warning, to
+    shipping that side's full docs through the exchange, which stays
+    correct and per-task bounded (corpus/B per bucket). Only the int64
+    id columns of the pairs ever land on the driver.
+
+    FAST PATH: when the candidate docs' total payload fits the broadcast
+    budget (``_BROADCAST_PAYLOAD_BYTES``), both exchanges are skipped
+    entirely — pairs are deduped with a two-phase count agg (16 B rows)
+    and payloads are looked up per batch from one ``ray.put`` table.
+    Exchange volume drops from pairs × 2 payloads to pairs × 16 B."""
     # consumed three times below (id_a scan, id_b scan, stage-1 union) —
     # pin the bounded candidate set instead of re-running LSH per consumer
     raw_pairs = raw_pairs.materialize()
     ids_a = _distinct_pair_ids(raw_pairs, "id_a")
     ids_b = _distinct_pair_ids(raw_pairs, "id_b")
+
+    if ids_a is not None and ids_b is not None:
+        fast = _broadcast_pair_verify(
+            raw_pairs,
+            docs,
+            id_col,
+            payload_col,
+            payload_type,
+            np.union1d(ids_a, ids_b),
+            finalize,
+        )
+        if fast is not None:
+            return fast
 
     def _tag(side: int, key: str, cols: dict):
         """Pad to the stage's union schema + bucket by ``key % B``."""
@@ -527,11 +646,14 @@ def _bucketed_pair_verify(
     s1_cols = {
         "id_a": pa.int64(),
         "id_b": pa.int64(),
-        "text_a": pa.string(),
+        "pay_a": payload_type,
     }
     docs_a = _restrict_to_ids(docs, id_col, ids_a).map_batches(
         lambda t: pa.table(
-            {"id_a": pc.cast(t[id_col], pa.int64()), "text_a": t[text_col]}
+            {
+                "id_a": pc.cast(t[id_col], pa.int64()),
+                "pay_a": pc.cast(t[payload_col], payload_type),
+            }
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -558,8 +680,8 @@ def _bucketed_pair_verify(
             {
                 "id_a": agg["id_a"],
                 "id_b": agg["id_b"],
-                "n_bands": pc.cast(agg["id_a_count"], pa.int64()),
-                "text_a": dtab["text_a"].combine_chunks().take(idx),
+                "n_agree": pc.cast(agg["id_a_count"], pa.int64()),
+                "pay_a": dtab["pay_a"].combine_chunks().take(idx),
             }
         )
 
@@ -579,13 +701,16 @@ def _bucketed_pair_verify(
     s2_cols = {
         "id_a": pa.int64(),
         "id_b": pa.int64(),
-        "n_bands": pa.int64(),
-        "text_a": pa.string(),
-        "text_b": pa.string(),
+        "n_agree": pa.int64(),
+        "pay_a": payload_type,
+        "pay_b": payload_type,
     }
     docs_b = _restrict_to_ids(docs, id_col, ids_b).map_batches(
         lambda t: pa.table(
-            {"id_b": pc.cast(t[id_col], pa.int64()), "text_b": t[text_col]}
+            {
+                "id_b": pc.cast(t[id_col], pa.int64()),
+                "pay_b": pc.cast(t[payload_col], payload_type),
+            }
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -603,7 +728,35 @@ def _bucketed_pair_verify(
         pairs = group.filter(is_pair)
         dtab = group.filter(pc.invert(is_pair))
         idx = pc.index_in(pairs["id_b"], value_set=dtab["id_b"].combine_chunks())
-        text_b = dtab["text_b"].combine_chunks().take(idx)
+        return finalize(
+            pa.table(
+                {
+                    "id_a": pairs["id_a"],
+                    "id_b": pairs["id_b"],
+                    "n_agree": pairs["n_agree"],
+                    "pay_a": pairs["pay_a"],
+                    "pay_b": dtab["pay_b"].combine_chunks().take(idx),
+                }
+            )
+        )
+
+    if coalesce:
+        stage2 = stage2.repartition(num_buckets)
+    return stage2.groupby("_bucket").map_groups(merge_b_verify, batch_format="pyarrow")
+
+
+def _bucketed_pair_verify(
+    raw_pairs: Dataset,
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_buckets: int,
+) -> Dataset:
+    """Exact-Jaccard verification of text candidate pairs (the MinHash /
+    n-gram LSH verify stage) on top of ``bucketed_pair_verify``."""
+
+    def finalize(pairs: pa.Table) -> pa.Table:
         # shingle each distinct text once per task (a hot doc appears in
         # many pairs); sets are unique+sorted, so intersect1d is O(n)
         cache: dict = {}
@@ -615,7 +768,7 @@ def _bucketed_pair_verify(
             return r
 
         ja = []
-        for a, b in zip(pairs["text_a"].to_pylist(), text_b.to_pylist()):
+        for a, b in zip(pairs["pay_a"].to_pylist(), pairs["pay_b"].to_pylist()):
             sa, sb = sh(a), sh(b)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
@@ -624,15 +777,15 @@ def _bucketed_pair_verify(
             {
                 "id_a": pairs["id_a"],
                 "id_b": pairs["id_b"],
-                "n_bands": pairs["n_bands"],
+                "n_bands": pairs["n_agree"],
                 "jaccard": pa.array(ja, pa.float64()),
             }
         )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    if coalesce:
-        stage2 = stage2.repartition(num_buckets)
-    return stage2.groupby("_bucket").map_groups(merge_b_verify, batch_format="pyarrow")
+    return bucketed_pair_verify(
+        raw_pairs, docs, id_col, text_col, pa.string(), num_buckets, finalize
+    )
 
 
 def minhash_lsh_pairs(

@@ -79,6 +79,20 @@ def brute_force_topk(
     )
 
 
+_LSH_SIGN_BITS = 32  # sign bits computed per table; bucket key = low kb bits
+
+
+def _adaptive_key_bits(n_rows: int, n_bits_min: int, target_bucket: int) -> int:
+    """Key width sized so EXPECTED bucket population ≈ ``target_bucket``
+    regardless of corpus size: kb = log2(n / target), floored at the
+    caller's minimum. At 100× the corpus this adds ~7 bits instead of
+    letting bucket population grow 100×."""
+    import math
+
+    need = math.ceil(math.log2(max(1.0, n_rows / max(1, target_bucket))))
+    return int(min(_LSH_SIGN_BITS, max(n_bits_min, need)))
+
+
 def embedding_near_dup_pairs(
     ds: Dataset,
     threshold: float = 0.9,
@@ -88,75 +102,149 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     round_to: int = 5,
     max_bucket: int = 500,
+    num_join_buckets: int = 16,
 ) -> Dataset:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets.
 
-    Each vector lands in one bucket per table (coarse ``n_bits``-bit
-    keys); within-bucket all-pairs cosine ≥ threshold are emitted and
-    deduped across tables by a tiny (id_a, id_b) groupby. Recall for a
-    pair at angle θ is ``1-(1-(1-θ/π)^n_bits)^n_tables`` — with the
-    defaults ≥ 0.99 at cosine 0.95. The shuffle moves (key, id, vector)
-    rows only; bucket width bounds the quadratic verify.
+    Scale shape (each piece sized so a 100× corpus changes constants,
+    not structure):
+
+    * **Key width is adaptive**: ``n_bits`` is the MINIMUM; the actual
+      per-table key uses ``max(n_bits, log2(n_rows / (max_bucket/4)))``
+      bits, so expected bucket population stays ~constant as the corpus
+      grows. Recall for a pair at angle θ is
+      ``1-(1-(1-θ/π)^kb)^n_tables`` with kb the effective key width.
+    * **No vectors in the explode**: candidate generation shuffles
+      (table, key, fullkey, id) rows — 28 B/row/table — never the
+      embedding payload. Vectors cross the wire only in the verify
+      attach, restricted to candidate ids (``bucketed_pair_verify``).
+    * **Overflowing buckets split recursively, never truncate**: each
+      row carries its full 32-bit sign key, so a bucket beyond
+      ``max_bucket`` is subdivided in-task by the next sign bits until
+      it fits — no pairs are silently dropped. Only a cluster identical
+      in all 32 sign bits can still overflow; it gets a
+      connectivity-preserving STAR (min-id to others, O(c) pairs) with
+      a logged warning instead of O(c²) pairs.
+    * Cross-table pair dedup and the exact-cosine verify ride the same
+      two bounded bucketed exchanges as MinHash verification.
     """
-    from ray.data.aggregate import Max
+    from ocr_processor_ray.functions.dedup import bucketed_pair_verify
+
+    # metadata-only on a parquet read; computed inputs should be
+    # .materialize()d by the caller (consumed twice: explode + verify)
+    n_rows = ds.count()
+    kb = _adaptive_key_bits(n_rows, n_bits, max(32, max_bucket // 4))
+    key_mask = (1 << kb) - 1
+    powers = 1 << np.arange(_LSH_SIGN_BITS, dtype=np.uint64)
 
     def explode(batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
-        ids = np.asarray(batch[id_col])
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
         dim = m.shape[1]
-        t_col, k_col, i_col, v_col = [], [], [], []
+        n = len(ids)
+        fk = np.empty(n_tables * n, np.int64)
         for t in range(n_tables):
-            signs = hyperplane_signs(m.astype(np.float32), dim, n_bits, t)
-            keys = signs @ (1 << np.arange(n_bits, dtype=np.uint64))
-            t_col.extend([t] * len(m))
-            k_col.extend(int(k) for k in keys)
-            i_col.extend(int(i) for i in ids)
-            v_col.extend(m.tolist())
+            signs = hyperplane_signs(m, dim, _LSH_SIGN_BITS, t)
+            fk[t * n : (t + 1) * n] = (signs @ powers).astype(np.int64)
         return pa.table(
             {
-                "table": pa.array(t_col, pa.int32()),
-                "key": pa.array(k_col, pa.int64()),
-                id_col: pa.array(i_col, pa.int64()),
-                "_vec": pa.array(v_col, pa.list_(pa.float64())),
+                "table": pa.array(
+                    np.repeat(np.arange(n_tables, dtype=np.int32), n)
+                ),
+                "key": pa.array(fk & key_mask),
+                "fullkey": pa.array(fk),
+                id_col: pa.array(np.tile(ids, n_tables)),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = min(group.num_rows, max_bucket)
-        if group.num_rows > max_bucket:
-            logger.warning(
-                "embedding-near-dup: truncated %d of %d rows in one LSH bucket "
-                "(max_bucket=%d) — raise n_bits to split hot buckets",
-                group.num_rows - max_bucket,
-                group.num_rows,
-                max_bucket,
+    def bucket_candidates(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        fk = np.asarray(group["fullkey"], dtype=np.int64)
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        stack = [(np.arange(len(ids)), kb)]
+        while stack:
+            idxs, bit = stack.pop()
+            if len(idxs) > max_bucket and bit < _LSH_SIGN_BITS:
+                side = (fk[idxs] >> bit) & 1
+                stack.append((idxs[side == 0], bit + 1))
+                stack.append((idxs[side == 1], bit + 1))
+                continue
+            u = np.unique(ids[idxs])
+            if u.size < 2:
+                continue
+            if u.size > max_bucket:
+                logger.warning(
+                    "embedding-near-dup: %d ids identical in all %d sign "
+                    "bits of one table — emitting a star (%d pairs) "
+                    "instead of all-pairs; cluster is near-uniform",
+                    u.size,
+                    _LSH_SIGN_BITS,
+                    u.size - 1,
+                )
+                a_out.append(np.full(u.size - 1, u[0], np.int64))
+                b_out.append(u[1:])
+            else:
+                iu, ju = np.triu_indices(u.size, k=1)
+                a_out.append(u[iu])
+                b_out.append(u[ju])
+        if not a_out:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
-        ids = group[id_col].to_pylist()[:n]
-        vecs = np.array(group["_vec"].to_pylist()[:n], dtype=np.float64)
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        vecs = vecs[order]
-        sims = vecs @ vecs.T
-        a, b, s = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] != ids[j] and sims[i, j] >= threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    s.append(round(float(sims[i, j]), round_to))
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
-                "cos_sim": pa.array(s, pa.float64()),
+                "id_a": pa.array(np.concatenate(a_out)),
+                "id_b": pa.array(np.concatenate(b_out)),
+            }
+        )
+
+    def finalize(pairs: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if pairs.num_rows == 0:
+            return empty
+        va = _normalize(_flat_matrix(pairs["pay_a"]))
+        vb = _normalize(_flat_matrix(pairs["pay_b"]))
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "id_a": pairs["id_a"].combine_chunks().filter(pa.array(keep)),
+                "id_b": pairs["id_b"].combine_chunks().filter(pa.array(keep)),
+                "cos_sim": pa.array(np.round(cos[keep], round_to), pa.float64()),
             }
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = exploded.groupby(["table", "key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    raw_pairs = exploded.groupby(["table", "key"]).map_groups(
+        bucket_candidates, batch_format="pyarrow"
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
+    return bucketed_pair_verify(
+        raw_pairs,
+        ds,
+        id_col,
+        vec_col,
+        pa.list_(pa.float64()),
+        num_join_buckets,
+        finalize,
+    )
+
+
+def _flat_matrix(arr) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float64> column (no nulls)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return (
+        arr.flatten().to_numpy(zero_copy_only=False).reshape(len(arr), -1)
+    )
 
 
 def exact_near_dup_pairs(
@@ -357,10 +445,11 @@ def ivf_topk(
         )
 
     cands = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
-    t = pa.concat_tables(
-        [tb for tb in ray.get(cands.to_arrow_refs()) if tb.num_rows]
-    )
-    t = t.sort_by([("sim", "descending"), (id_col, "ascending")]).slice(0, k)
+    # candidates are ≤ #blocks × k rows — same bounded merge as
+    # brute_force_topk / lsh_topk (distributed pre-reduce, no full concat)
+    from ocr_processor_ray.functions.agg import global_topk
+
+    t = global_topk(cands, "sim", k, tiebreak=id_col, descending=True)
     return t.set_column(
         t.schema.get_field_index("sim"),
         "sim",

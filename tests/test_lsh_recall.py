@@ -105,6 +105,127 @@ class TestLshRecall:
             f"{expected:.3f} - 3σ ({sigma:.3f}) over {len(true_pairs)} pairs"
         )
 
+    def test_embedding_lsh_recall_meets_hyperplane_bound(self):
+        """Measured embedding-LSH recall vs exact all-pairs cosine ground
+        truth (r4 verdict item 3): for a pair at angle θ the hyperplane
+        formula gives hit probability 1-(1-(1-θ/π)^kb)^T with kb the
+        effective key width; measured recall must be within 3σ of the
+        per-pair-probability expectation. Corpus is sized so no bucket
+        overflows — the formula then holds exactly."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.similarity import (
+            _adaptive_key_bits,
+            embedding_near_dup_pairs,
+        )
+
+        rng = np.random.RandomState(20250818)
+        n_bases, dim, tau = 120, 32, 0.9
+        base = rng.standard_normal((n_bases, dim)).astype(np.float32)
+        # one mutated copy per base spanning cosine ~0.99 → ~0.75
+        noise_scale = np.linspace(0.05, 0.45, n_bases)[:, None]
+        mut = base + noise_scale * rng.standard_normal((n_bases, dim)).astype(
+            np.float32
+        )
+        vecs = np.vstack([base, mut])
+        nm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = nm @ nm.T
+        iu, ju = np.triu_indices(len(vecs), k=1)
+        qual = sims[iu, ju] >= tau
+        true_pairs = {
+            (int(a), int(b)): float(s)
+            for a, b, s in zip(iu[qual], ju[qual], sims[iu, ju][qual])
+        }
+        assert len(true_pairs) >= 40, len(true_pairs)
+
+        n_bits, n_tables = 4, 8
+        kb = _adaptive_key_bits(len(vecs), n_bits, 125)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        )
+        got = embedding_near_dup_pairs(
+            ds, threshold=tau, n_bits=n_bits, n_tables=n_tables
+        ).to_pandas()
+        found = {
+            (min(a, b), max(a, b)) for a, b in zip(got["id_a"], got["id_b"])
+        }
+        # precision: the verify stage computes exact cosine — every
+        # returned pair must be ground truth (float-rounding slack only)
+        assert found <= set(true_pairs), found - set(true_pairs)
+
+        hit = sum(1 for p in true_pairs if p in found)
+        recall = hit / len(true_pairs)
+        theta = np.arccos(np.clip(list(true_pairs.values()), -1.0, 1.0))
+        probs = 1.0 - (1.0 - (1.0 - theta / np.pi) ** kb) ** n_tables
+        expected = probs.mean()
+        sigma = float(np.sqrt((probs * (1 - probs)).sum())) / len(true_pairs)
+        assert recall >= expected - 3 * sigma - 1e-9, (
+            f"measured recall {recall:.3f} < hyperplane expectation "
+            f"{expected:.3f} - 3σ ({sigma:.3f}) over {len(true_pairs)} pairs"
+        )
+
+    def test_embedding_lsh_splits_hot_buckets_without_losing_pairs(self):
+        """Force recursive bucket splitting (tiny max_bucket) on planted
+        near-identical pairs: splitting must keep near-dup recall (extra
+        sign bits barely separate cos≈0.999 pairs) and never truncate."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.similarity import embedding_near_dup_pairs
+
+        rng = np.random.RandomState(7)
+        n_pairs, dim = 150, 32
+        base = rng.standard_normal((n_pairs, dim)).astype(np.float32)
+        mate = base + 0.02 * rng.standard_normal((n_pairs, dim)).astype(np.float32)
+        vecs = np.empty((2 * n_pairs, dim), np.float32)
+        vecs[0::2], vecs[1::2] = base, mate
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        )
+        got = embedding_near_dup_pairs(ds, threshold=0.99, max_bucket=10).to_pandas()
+        found = {(min(a, b), max(a, b)) for a, b in zip(got["id_a"], got["id_b"])}
+        planted = {(2 * i, 2 * i + 1) for i in range(n_pairs)}
+        recall = len(found & planted) / n_pairs
+        # p_bit ≈ 0.99 even across all 32 bits: ≥0.999 theoretical — allow
+        # a couple of unlucky pairs
+        assert recall >= 0.95, f"recall {recall:.3f} under forced splitting"
+
+    def test_embedding_lsh_identical_cluster_stays_connected(self):
+        """A cluster identical in every sign bit can't be split — the
+        documented fallback emits a connectivity-preserving star, so all
+        members land in one connected component (no O(c²) blowup, no
+        silent drop)."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.graph import connected_components
+        from ocr_processor_ray.functions.similarity import embedding_near_dup_pairs
+
+        rng = np.random.RandomState(9)
+        dim, c = 16, 50
+        v = rng.standard_normal(dim).astype(np.float32)
+        vecs = np.tile(v, (c, 1))  # 50 identical vectors
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(c), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        )
+        pairs = embedding_near_dup_pairs(ds, threshold=0.99, max_bucket=10)
+        cc = connected_components(pairs).to_pandas()
+        assert set(cc["node"]) == set(range(c))
+        assert cc["component"].nunique() == 1
+
     def test_simhash_pigeonhole_recall_is_exact(self):
         import ray.data as rd
 
