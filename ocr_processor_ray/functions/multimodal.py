@@ -270,6 +270,20 @@ class FrameSample:
         as 'zero frames')."""
         import io
 
+        def forward_decode(container, stream) -> list[tuple[int, int, bytes]]:
+            """Decode from the start, keep the first n frames — the path
+            for unknown duration AND pts-less streams (frame order is
+            the only usable axis when timestamps are absent)."""
+            out = []
+            for fr in container.decode(stream):
+                ts_ms = int((fr.time or 0.0) * 1000)
+                buf = io.BytesIO()
+                fr.to_image().save(buf, format="JPEG")
+                out.append((len(out), ts_ms, buf.getvalue()))
+                if len(out) >= self.n_frames:
+                    break
+            return out
+
         try:
             with self._av.open(io.BytesIO(data)) as container:
                 stream = container.streams.video[0]
@@ -279,16 +293,7 @@ class FrameSample:
                     else 0.0
                 )
                 if dur_s <= 0:
-                    # unknown duration: decode forward, keep first n only
-                    out = []
-                    for fr in container.decode(stream):
-                        ts_ms = int((fr.time or 0.0) * 1000)
-                        buf = io.BytesIO()
-                        fr.to_image().save(buf, format="JPEG")
-                        out.append((len(out), ts_ms, buf.getvalue()))
-                        if len(out) >= self.n_frames:
-                            break
-                    return out
+                    return forward_decode(container, stream)
                 out = []
                 for i in range(self.n_frames):
                     target_s = dur_s * i / self.n_frames
@@ -298,7 +303,13 @@ class FrameSample:
                     hit = last = None
                     for fr in container.decode(stream):
                         last = fr
-                        if fr.time is None or fr.time >= target_s:
+                        if fr.time is None:
+                            # pts-less frames satisfy every target at the
+                            # first decode — seek targets are meaningless;
+                            # restart with the forward-decode path instead
+                            container.seek(0)
+                            return forward_decode(container, stream)
+                        if fr.time >= target_s:
                             hit = fr
                             break
                     # container duration can overstate the last video
@@ -519,12 +530,25 @@ def image_header_dims(data: bytes) -> tuple[str, int, int]:
             )
         return ("gif", 0, 0)
     if data[:2] == b"BM":
-        if len(data) >= 26:
-            return _clamp_dims(
-                "bmp",
-                int.from_bytes(data[18:22], "little", signed=True),
-                abs(int.from_bytes(data[22:26], "little", signed=True)),
-            )
+        # dispatch on the DIB header size at offset 14: 40/52/56/108/124
+        # all share the BITMAPINFOHEADER dim layout (32-bit at 18/22);
+        # the legacy 12-byte BITMAPCOREHEADER stores 16-bit dims at
+        # 18/20. Anything else is unrecognized → ("bmp", 0, 0) rather
+        # than misreading plausible-but-wrong dims.
+        if len(data) >= 18:
+            dib = int.from_bytes(data[14:18], "little")
+            if dib in (40, 52, 56, 64, 108, 124) and len(data) >= 26:
+                return _clamp_dims(
+                    "bmp",
+                    int.from_bytes(data[18:22], "little", signed=True),
+                    abs(int.from_bytes(data[22:26], "little", signed=True)),
+                )
+            if dib == 12 and len(data) >= 22:
+                return _clamp_dims(
+                    "bmp",
+                    int.from_bytes(data[18:20], "little"),
+                    int.from_bytes(data[20:22], "little"),
+                )
         return ("bmp", 0, 0)
     if data[:2] == b"\xff\xd8":
         i, n = 2, len(data)
@@ -533,7 +557,12 @@ def image_header_dims(data: bytes) -> tuple[str, int, int]:
                 i += 1
                 continue
             marker = data[i + 1]
-            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+            if marker in (0xDA, 0xD9):
+                # SOS / EOI: no SOF seen before scan data or end of image
+                # — stop rather than walk entropy-coded bytes where a
+                # stray FF Cx would misread as a frame header
+                break
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
                 i += 2  # standalone markers carry no length
                 continue
             seglen = int.from_bytes(data[i + 2 : i + 4], "big")
@@ -604,9 +633,12 @@ def synth_media_table_headers(n: int = 64, seed: int = 9) -> pa.Table:
             w, h = w % 65536, h % 65536
             mime = "image/gif"
         elif kind == 2:
+            # 14-byte file header + BITMAPINFOHEADER (DIB size 40 at
+            # offset 14 — the parser dispatches on it)
             data = (
                 b"BM"
-                + bytes(16)
+                + bytes(12)
+                + (40).to_bytes(4, "little")
                 + w.to_bytes(4, "little")
                 + h.to_bytes(4, "little")
                 + body

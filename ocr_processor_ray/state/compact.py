@@ -85,6 +85,27 @@ def compact_output(
     # partitioning=None: the hive-style `part=NNNNN/` directory names
     # would otherwise be discovered as a partition column and collide
     # with the `part` column add_partition_column appends
+    # Resume safety: completed dst partition ids only mean anything
+    # under the partition count they were written with — resuming with a
+    # different count would drop rows whose new assignment collides with
+    # an old completed id and duplicate others. Record the count before
+    # the first write and refuse to resume under a different one.
+    os.makedirs(dst_dir, exist_ok=True)
+    count_marker = os.path.join(dst_dir, "_num_partitions.json")
+    if os.path.exists(count_marker):
+        with open(count_marker) as f:
+            prev = json.load(f)["num_partitions"]
+        if prev != num_output_partitions:
+            raise ValueError(
+                f"{dst_dir!r} was partially compacted with "
+                f"num_output_partitions={prev}; resuming with "
+                f"{num_output_partitions} would corrupt the output — "
+                "finish with the original count or use a fresh dst_dir"
+            )
+    else:
+        with open(count_marker, "w") as f:
+            json.dump({"num_partitions": num_output_partitions}, f)
+
     ds = rd.read_parquet(files, partitioning=None)
     ds = ds.map_batches(
         functools.partial(

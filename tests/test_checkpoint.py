@@ -486,3 +486,7 @@ class TestCompaction:
         assert again["partitions_skipped"] == [0, 1, 2, 3]
         with _pytest.raises(ValueError):
             compact_output(src, src, 4)
+        # resuming the same dst with a DIFFERENT partition count would
+        # drop/duplicate rows — must refuse loudly
+        with _pytest.raises(ValueError, match="num_output_partitions=4"):
+            compact_output(src, dst, 8)

@@ -1293,7 +1293,7 @@ class TestRound4Fixes:
         assert image_header_dims(png) == ("png", 0, 0)
         # BMP height -2^31: abs() == 2^31 > int32 max
         bmp = (
-            b"BM" + bytes(16)
+            b"BM" + bytes(12) + (40).to_bytes(4, "little")
             + (320).to_bytes(4, "little")
             + (0x80000000).to_bytes(4, "little")
         )
@@ -1307,6 +1307,51 @@ class TestRound4Fixes:
         moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
         ftyp = (16).to_bytes(4, "big") + b"ftypisom" + bytes(4)
         assert video_header_meta(ftyp + moov) == ("mp4", 0, 0)
+
+    def test_bmp_dib_header_dispatch(self):
+        from ocr_processor_ray.functions.multimodal import image_header_dims
+
+        # BITMAPINFOHEADER (DIB size 40): 32-bit dims at 18/22
+        info = (
+            b"BM" + bytes(12) + (40).to_bytes(4, "little")
+            + (640).to_bytes(4, "little") + (480).to_bytes(4, "little")
+        )
+        assert image_header_dims(info) == ("bmp", 640, 480)
+        # legacy BITMAPCOREHEADER (DIB size 12): 16-bit dims at 18/20
+        core = (
+            b"BM" + bytes(12) + (12).to_bytes(4, "little")
+            + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+        )
+        assert image_header_dims(core) == ("bmp", 320, 200)
+        # unrecognized DIB size: report 0x0 instead of plausible-but-wrong
+        # dims read at the INFOHEADER offsets
+        weird = (
+            b"BM" + bytes(12) + (77).to_bytes(4, "little")
+            + (640).to_bytes(4, "little") + (480).to_bytes(4, "little")
+        )
+        assert image_header_dims(weird) == ("bmp", 0, 0)
+
+    def test_jpeg_scan_stops_at_sos(self):
+        from ocr_processor_ray.functions.multimodal import image_header_dims
+
+        # SOS with no SOF before it, then entropy bytes containing a fake
+        # FF C0 "frame header" — must NOT be read as dims
+        sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6)
+        fake_sof_in_scan = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (123).to_bytes(2, "big") + (456).to_bytes(2, "big") + bytes(10)
+        )
+        assert image_header_dims(b"\xff\xd8" + sos + fake_sof_in_scan) == (
+            "jpeg",
+            0,
+            0,
+        )
+        # EOI before any SOF: stop as well
+        assert image_header_dims(b"\xff\xd8\xff\xd9" + fake_sof_in_scan) == (
+            "jpeg",
+            0,
+            0,
+        )
 
     def test_dedup_lines_duplicate_doc_id_raises(self):
         import ray.data as rd
@@ -1675,7 +1720,7 @@ class TestImageHeaderDims:
         assert image_header_dims(b"\xff\xd8\xff\xe0\x00\x01") == ("jpeg", 0, 0)
         # BMP top-down (negative height) reports absolute height
         bmp = (
-            b"BM" + bytes(16)
+            b"BM" + bytes(12) + (40).to_bytes(4, "little")
             + (320).to_bytes(4, "little")
             + (-200).to_bytes(4, "little", signed=True)
         )
