@@ -766,11 +766,12 @@ def synth_video_table_headers(n: int = 48, seed: int = 11) -> pa.Table:
     """Payloads with REAL MP4/AVI headers and ground-truth durations in
     the metadata (every 5th row corrupt)."""
     rng = np.random.RandomState(seed)
-    ids, payloads, mimes, durs = [], [], [], []
+    ids, payloads, mimes, durs, scales = [], [], [], [], []
     for i in range(n):
         body = rng.bytes(int(rng.randint(16, 128)))
         if i % 5 == 2:
             data, mime, dur_ms = rng.bytes(48), "application/octet-stream", 0
+            timescale = 0
         elif i % 2 == 0:
             ts = int(rng.choice([600, 1000, 90000]))
             dur_units = int(rng.randint(1, 10_000_000))
@@ -784,6 +785,7 @@ def synth_video_table_headers(n: int = 48, seed: int = 11) -> pa.Table:
             data = ftyp + moov + body
             mime = "video/mp4"
             dur_ms = dur_units * 1000 // ts
+            timescale = ts
         else:
             usec = int(rng.choice([16667, 33333, 40000]))
             frames = int(rng.randint(1, 100_000))
@@ -796,15 +798,18 @@ def synth_video_table_headers(n: int = 48, seed: int = 11) -> pa.Table:
             ) + b"AVI " + hdrl + body
             mime = "video/x-msvideo"
             dur_ms = usec * frames // 1000
+            timescale = 1_000_000  # the parser reports AVI rates in µs
         ids.append(i)
         payloads.append(data)
         mimes.append(mime)
         durs.append(dur_ms)
+        scales.append(timescale)
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(mimes, pa.string()),
             "duration_ms": pa.array(durs, pa.int64()),
+            "timescale": pa.array(scales, pa.int64()),
         }
     )

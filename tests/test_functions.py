@@ -1744,6 +1744,7 @@ class TestVideoHeaderMeta:
         for row in r.to_pylist():
             assert row["container"] == exp[row["mime"]], row
             assert row["sniff_duration_ms"] == row["duration_ms"], row
+            assert row["sniff_timescale"] == row["timescale"], row
 
     def test_edge_cases(self):
         from ocr_processor_ray.functions.multimodal import video_header_meta

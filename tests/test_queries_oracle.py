@@ -33,6 +33,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.fixture(scope="module")
 def con():
+    # mirror the driver: oracle_sql() materializes the fixed-corpus and
+    # expected-output parquet files the flagship/media SQL reads
+    from ocr_processor_ray.queries_catalog import ensure_oracle_inputs
+
+    ensure_oracle_inputs()
     c = duckdb.connect()
     for t in TABLES:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
