@@ -330,22 +330,32 @@ def minhash_band_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_candidate_buckets: int = DEFAULT_CANDIDATE_BUCKETS,
+    n_bands: int = N_BANDS,
 ) -> pa.Table:
-    """Explode each doc into N_BANDS rows: (_cbucket, band, band_key, doc_id).
+    """Explode each doc into ``n_bands`` rows: (_cbucket, band, band_key, doc_id).
 
-    band_key is a 64-bit digest of the band's ROWS_PER_BAND minhash
+    band_key is a 64-bit digest of the band's N_PERM/n_bands minhash
     values — the LSH bucket key. ``_cbucket`` hashes (band, band_key)
     into ``num_candidate_buckets`` shuffle partitions, so each downstream
-    task receives ~(N_docs × N_BANDS)/B rows — bounded by B, not by the
+    task receives ~(N_docs × n_bands)/B rows — bounded by B, not by the
     corpus, while all rows of one exact LSH bucket still co-locate.
+
+    Banding tunes the recall threshold t* ≈ (1/b)^(1/r) with
+    r = N_PERM/b: 4×16→0.92, 8×8→0.77 (default, for τ≈0.7),
+    16×4→0.50, 32×2→0.18. Callers verifying at a LOW exact-Jaccard
+    threshold must widen the banding (more bands, shorter rows) or
+    boundary pairs are missed with near certainty.
     """
+    if N_PERM % n_bands:
+        raise ValueError(f"n_bands={n_bands} must divide N_PERM={N_PERM}")
+    rows_per_band = N_PERM // n_bands
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
     sigs = batch_minhash_signatures(texts)
     out_bkt, out_band, out_key, out_id = [], [], [], []
     for did, sig in zip(ids, sigs):
-        for band in range(N_BANDS):
-            seg = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+        for band in range(n_bands):
+            seg = sig[band * rows_per_band : (band + 1) * rows_per_band]
             key = int.from_bytes(
                 hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big"
             )
@@ -752,9 +762,19 @@ def _bucketed_pair_verify(
     text_col: str,
     threshold: float,
     num_buckets: int,
+    emit: str = "jaccard",
 ) -> Dataset:
     """Exact-Jaccard verification of text candidate pairs (the MinHash /
-    n-gram LSH verify stage) on top of ``bucketed_pair_verify``."""
+    n-gram LSH verify stage) on top of ``bucketed_pair_verify``.
+
+    ``emit="jaccard"`` outputs (id_a, id_b, n_bands, jaccard) with a
+    float threshold filter; ``emit="counts"`` outputs the oracle-exact
+    integer form (id_a, id_b, inter, un) filtered all-integer
+    (100·inter ≥ pct·un, pct = round(100·threshold)) — hash-comparable
+    against a DuckDB shingle-join with no float rounding in the loop."""
+    if emit not in ("jaccard", "counts"):
+        raise ValueError(f"emit must be 'jaccard' or 'counts', got {emit!r}")
+    pct = int(round(threshold * 100))
 
     def finalize(pairs: pa.Table) -> pa.Table:
         # shingle each distinct text once per task (a hot doc appears in
@@ -767,12 +787,29 @@ def _bucketed_pair_verify(
                 r = cache[t] = shingle_hashes(t)
             return r
 
-        ja = []
+        inters, unions = [], []
         for a, b in zip(pairs["pay_a"].to_pylist(), pairs["pay_b"].to_pylist()):
             sa, sb = sh(a), sh(b)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            ja.append(round(inter / union if union else 1.0, 6))
+            inters.append(inter)
+            unions.append(sa.size + sb.size - inter)
+        if emit == "counts":
+            out = pa.table(
+                {
+                    "id_a": pairs["id_a"],
+                    "id_b": pairs["id_b"],
+                    "inter": pa.array(inters, pa.int64()),
+                    "un": pa.array(unions, pa.int64()),
+                }
+            )
+            keep = pc.greater_equal(
+                pc.multiply(out["inter"], pa.scalar(100, pa.int64())),
+                pc.multiply(out["un"], pa.scalar(pct, pa.int64())),
+            )
+            return out.filter(keep)
+        ja = [
+            round(i / u if u else 1.0, 6) for i, u in zip(inters, unions)
+        ]
         out = pa.table(
             {
                 "id_a": pairs["id_a"],
@@ -795,6 +832,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     num_candidate_buckets: int = DEFAULT_CANDIDATE_BUCKETS,
     num_join_buckets: int = 16,
+    n_bands: int = N_BANDS,
+    emit: str = "jaccard",
 ) -> Dataset:
     """Near-duplicate pairs with exact-Jaccard verification.
 
@@ -803,9 +842,20 @@ def minhash_lsh_pairs(
     partitions; verification joins the surviving candidate pairs back to
     their two texts with bucketed self-joins (only candidates' texts move;
     no driver-side materialization, no whole-corpus broadcast).
+
+    ``n_bands`` sets the recall/candidate-volume tradeoff (see
+    ``minhash_band_rows``: 8×8 suits τ≈0.7; pass 16 for τ≈0.35-0.5).
+    ``emit="counts"`` returns the oracle-exact integer (inter, un)
+    form instead of (n_bands, jaccard). Short-doc caveat: docs with
+    <k words fold to a single whole-doc shingle (so identical short
+    docs pair at jaccard 1.0) whereas a SQL k-gram formulation emits
+    no shingles for them — equivalent only on corpora without sub-k
+    documents.
     """
     bands = ds.map_batches(
-        lambda t: minhash_band_rows(t, id_col, text_col, num_candidate_buckets),
+        lambda t: minhash_band_rows(
+            t, id_col, text_col, num_candidate_buckets, n_bands
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -815,7 +865,7 @@ def minhash_lsh_pairs(
     # pair dedup (n_bands count) happens INSIDE the first verify shuffle —
     # all duplicates of a pair share id_a, so they co-locate there for free
     return _bucketed_pair_verify(
-        raw_pairs, ds, id_col, text_col, threshold, num_join_buckets
+        raw_pairs, ds, id_col, text_col, threshold, num_join_buckets, emit
     )
 
 

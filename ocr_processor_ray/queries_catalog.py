@@ -2816,9 +2816,20 @@ def q_flagship_extract_visual(sf_dir: str):
 
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard near-dup pairs (MinHash-LSH candidate
-    generation, exact-shingle verification) at a lower threshold."""
+    generation, exact-shingle verification) at a lower threshold —
+    ORACLED against the exact inverted-index formulation's DuckDB SQL
+    (r4 verdict item 6). Two changes make that sound: banding widened
+    to 16×4 (recall threshold t*≈0.5 vs 8×8's 0.77 — at τ=0.35 the
+    default banding misses even j=0.9 pairs with ~0.7% probability,
+    one such miss observed at sf0.1), and the verify emits the
+    all-integer (inter, un) columns with the same 100·inter ≥ 35·un
+    filter as the SQL, so no float rounding crosses the compare.
+    Equality vs `docs_exact_jaccard_pairs` is asserted on both test
+    corpora in tests/test_lsh_recall.py; residual divergence risk is
+    the banding bound at the exact τ boundary (measured: none here —
+    the corpora's true pair spectrum bottoms out at j=0.8)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.35)
+    return minhash_lsh_pairs(ds, threshold=0.35, n_bands=16, emit="counts")
 
 
 def q_media_header_dims(sf_dir: str):
@@ -3762,6 +3773,12 @@ ORACLE_SQL["media_video_headers"] = f"""
            timescale   AS sniff_timescale
     FROM read_parquet('{_EXPECTED_PATHS["video"]}')
 """
+
+# r4 verdict item 6: the LSH pipeline at 16×4 banding recovers the exact
+# τ=0.35 pair set on these corpora (asserted in tests/test_lsh_recall.py)
+# and emits the same all-integer (inter, un) columns — so the exact
+# inverted-index query's SQL doubles as its oracle verbatim.
+ORACLE_SQL["ngram_jaccard_pairs"] = ORACLE_SQL["docs_exact_jaccard_pairs"]
 
 
 # ===================================================================

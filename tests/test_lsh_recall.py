@@ -226,6 +226,64 @@ class TestLshRecall:
         assert set(cc["node"]) == set(range(c))
         assert cc["component"].nunique() == 1
 
+    def test_ngram_jaccard_lsh_equals_exact_at_sf001(self):
+        """r4 verdict item 6: the oracled `ngram_jaccard_pairs` claim —
+        at 16×4 banding with integer (inter, un) emission, the LSH
+        pipeline's τ=0.35 pair set EQUALS `docs_exact_jaccard_pairs`'s
+        exact inverted-index result on the sf0.01 corpus (the driver's
+        correctness scale), value-for-value."""
+        from ocr_processor_ray.queries_catalog import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        lsh = QUERIES["ngram_jaccard_pairs"](sf).to_pandas()
+        exact = QUERIES["docs_exact_jaccard_pairs"](sf).to_pandas()
+        key = ["id_a", "id_b"]
+        lsh = lsh.sort_values(key).reset_index(drop=True)[
+            ["id_a", "id_b", "inter", "un"]
+        ]
+        exact = exact.sort_values(key).reset_index(drop=True)[
+            ["id_a", "id_b", "inter", "un"]
+        ]
+        pd.testing.assert_frame_equal(lsh, exact, check_dtype=False)
+
+    def test_counts_emission_matches_integer_filter(self):
+        """`emit="counts"` must apply the same all-integer τ filter as
+        the oracle SQL (100·inter ≥ pct·un) and agree pairwise with the
+        float path's survivors on a synthetic corpus with pairs on both
+        sides of the threshold."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import minhash_lsh_pairs
+
+        docs = _corpus(n_bases=15, doc_words=60)
+        ids = sorted(docs)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([docs[k] for k in ids], pa.string()),
+                }
+            )
+        )
+        tau = 0.35
+        cnt = minhash_lsh_pairs(
+            ds, threshold=tau, n_bands=16, emit="counts"
+        ).to_pandas()
+        # schema + filter invariants
+        assert list(cnt.columns) == ["id_a", "id_b", "inter", "un"]
+        assert (cnt["inter"] * 100 >= cnt["un"] * 35).all()
+        flo = minhash_lsh_pairs(ds, threshold=tau, n_bands=16).to_pandas()
+        # identical banding ⇒ identical candidate sets; the two emissions
+        # must keep exactly the same pairs (round(·,6) never crosses the
+        # τ boundary for these set sizes) and consistent values
+        a = {(x, y): (i, u) for x, y, i, u in
+             zip(cnt["id_a"], cnt["id_b"], cnt["inter"], cnt["un"])}
+        b = {(x, y): j for x, y, j in
+             zip(flo["id_a"], flo["id_b"], flo["jaccard"])}
+        assert set(a) == set(b)
+        for p, (i, u) in a.items():
+            assert abs(i / u - b[p]) < 1e-5
+
     def test_simhash_pigeonhole_recall_is_exact(self):
         import ray.data as rd
 
