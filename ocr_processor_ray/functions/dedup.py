@@ -1180,6 +1180,7 @@ def near_dedup_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    n_bands: int = N_BANDS,
 ) -> Dataset:
     """The dedup DECISION applied: MinHash-LSH pairs → connected
     components → keep one survivor (minimum id) per cluster, pass every
@@ -1201,7 +1202,9 @@ def near_dedup_filter(
     from ocr_processor_ray.functions.graph import connected_components
     from ocr_processor_ray.functions.relational import bucketed_join
 
-    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, threshold=threshold)
+    pairs = minhash_lsh_pairs(
+        ds, id_col=id_col, text_col=text_col, threshold=threshold, n_bands=n_bands
+    )
     cc = connected_components(pairs)
     losers = cc.map_batches(
         lambda b: pa.table(

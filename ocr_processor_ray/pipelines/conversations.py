@@ -227,6 +227,7 @@ def near_dedup_conversations(
     paths: list[str],
     cfg: ExtractConfig | None = None,
     threshold: float = 0.7,
+    n_bands: int | None = None,
 ) -> Dataset:
     """Conversation-level near-dedup — the unit a trainer actually dedups
     is the ASSEMBLED conversation document, not the raw turn. Composes
@@ -259,8 +260,14 @@ def near_dedup_conversations(
     ids_docs = docs.map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    from ocr_processor_ray.functions.dedup import N_BANDS
+
     kept = near_dedup_filter(
-        ids_docs, id_col="conv_int", text_col="doc", threshold=threshold
+        ids_docs,
+        id_col="conv_int",
+        text_col="doc",
+        threshold=threshold,
+        n_bands=N_BANDS if n_bands is None else n_bands,
     )
 
     def finish(b: pa.Table) -> pa.Table:

@@ -200,8 +200,14 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs at τ=0.5, ORACLED against the exact
+    inverted-index SQL (r5): 32×2 banding puts the per-pair miss
+    probability at the corpus's j≥0.8 pairs below 1e-14 (and ≤1e-4
+    even at the τ boundary itself), and `emit="counts"` reproduces the
+    SQL's all-integer (inter, un) comparison. Set equality vs the
+    exact formulation is asserted in tests/test_lsh_recall.py."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5)
+    return minhash_lsh_pairs(ds, threshold=0.5, n_bands=32, emit="counts")
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -212,12 +218,16 @@ def q_simhash_pairs(sf_dir: str):
 def q_corpus_near_dedup(sf_dir: str):
     """Dedup APPLIED: MinHash pairs → connected components → one
     survivor (min id) per cluster, unpaired docs pass through; the kept
-    corpus rows come back via a bucketed anti-join. Hash-dependent
-    (LSH) → no SQL oracle; planted-dup pytest pins the semantics."""
+    corpus rows come back via a bucketed anti-join. ORACLED (r5): at
+    32×2 banding the pair set equals the exact τ=0.5 set (see
+    `q_minhash_pairs`), so the survivor set is deterministic and the
+    SQL states it directly — exact pairs → recursive-CTE components →
+    drop every non-minimum member. Planted-dup pytest still pins the
+    distributed semantics independently."""
     from ocr_processor_ray.functions.dedup import near_dedup_filter
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    kept = near_dedup_filter(ds, threshold=0.5)
+    kept = near_dedup_filter(ds, threshold=0.5, n_bands=32)
     return kept.map_batches(
         lambda b: pa.table(
             {
@@ -2777,12 +2787,20 @@ def q_training_corpus(sf_dir: str):
 def q_conversations_near_dedup(sf_dir: str):
     """Near-dedup at the CONVERSATION level (the unit a trainer dedups):
     extraction → salted assembly → MinHash-LSH pairs → connected
-    components → anti-join survivors. Rows-only driver check; the
-    planted-cross-conversation-duplicate recovery is pytest-verified
-    (tests/test_conversations.py)."""
+    components → anti-join survivors. ORACLED (r5): over the FIXED
+    oracle corpus (same pattern as conversation_doc_stats), DuckDB
+    reassembles each conversation document from the expected-extract
+    parquet and runs the exact-pair → components → min-survivor chain;
+    32×2 banding makes the LSH candidate set equal the exact τ=0.7 set
+    (per-pair miss ≤4e-10 even at the boundary). End-to-end this
+    oracles extraction text, salted assembly byte-equality AND the
+    dedup decision in one row. Planted-cross-conversation-duplicate
+    recovery remains pytest-verified (tests/test_conversations.py)."""
     from ocr_processor_ray.pipelines.conversations import near_dedup_conversations
 
-    return near_dedup_conversations(_flagship_corpus(sf_dir))
+    return near_dedup_conversations(
+        _ensure_corpus(_oracle_corpus_dir(), 42, 150), n_bands=32
+    )
 
 
 def q_flagship_extract_visual(sf_dir: str):
@@ -3514,35 +3532,6 @@ FROM c
         )
         GROUP BY event_type
     """,
-    "docs_exact_jaccard_pairs": """
-        WITH w AS (
-            SELECT doc_id,
-                   unnest(regexp_extract_all(text, '\\S+')) AS word,
-                   generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
-            FROM documents
-        ), g AS (
-            SELECT a.doc_id,
-                   a.word || chr(10) || b.word || chr(10) || c.word AS sh
-            FROM w a
-            JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
-            JOIN w c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
-        ), d AS (
-            SELECT DISTINCT doc_id, sh FROM g
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id
-        ), inter AS (
-            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-                   CAST(count(*) AS BIGINT) AS inter
-            FROM d x JOIN d y ON x.sh = y.sh AND x.doc_id < y.doc_id
-            GROUP BY x.doc_id, y.doc_id
-        )
-        SELECT id_a, id_b, inter,
-               CAST(sa.n + sb.n - inter AS BIGINT) AS un
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE inter * 100 >= 35 * (sa.n + sb.n - inter)
-    """,
     "docs_length_outliers": """
         WITH s AS (
             SELECT CAST(count(*) AS BIGINT) AS n,
@@ -3774,11 +3763,118 @@ ORACLE_SQL["media_video_headers"] = f"""
     FROM read_parquet('{_EXPECTED_PATHS["video"]}')
 """
 
-# r4 verdict item 6: the LSH pipeline at 16×4 banding recovers the exact
-# τ=0.35 pair set on these corpora (asserted in tests/test_lsh_recall.py)
-# and emits the same all-integer (inter, un) columns — so the exact
-# inverted-index query's SQL doubles as its oracle verbatim.
-ORACLE_SQL["ngram_jaccard_pairs"] = ORACLE_SQL["docs_exact_jaccard_pairs"]
+# ---- exact word-3-gram Jaccard in SQL, parametrized by the integer
+# threshold percentage. One template serves the exact inverted-index
+# query AND the oracled LSH queries (r4 verdict item 6): with wide
+# enough banding the LSH candidate stage recovers the exact pair set on
+# these corpora (asserted in tests/test_lsh_recall.py; per-pair miss
+# probability at the corpus's j≥0.8 pairs is ≤2e-4 at 16×4 and ≤1e-14
+# at 32×2), and the verify emits the same all-integer (inter, un)
+# columns, so the exact SQL applies verbatim.
+def _exact_jaccard_cte(src: str = "documents") -> str:
+    """CTE chain computing per-pair shingle intersections over ``src``
+    (any relation with columns doc_id, text)."""
+    return f"""
+        w AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '\\S+')) AS word,
+                   generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+            FROM {src}
+        ), g AS (
+            SELECT a.doc_id,
+                   a.word || chr(10) || b.word || chr(10) || c.word AS sh
+            FROM w a
+            JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            JOIN w c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+        ), d AS (
+            SELECT DISTINCT doc_id, sh FROM g
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id
+        ), raw_inter AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM d x JOIN d y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )"""
+
+
+def _exact_jaccard_pairs_sql(pct: int) -> str:
+    """(id_a, id_b, inter, un) of every doc pair with word-3-gram
+    Jaccard ≥ pct/100, computed exactly from the literal shingle
+    strings — the all-integer comparison the LSH `emit="counts"`
+    pipelines reproduce."""
+    return f"""
+        WITH {_exact_jaccard_cte()}
+        SELECT id_a, id_b, inter,
+               CAST(sa.n + sb.n - inter AS BIGINT) AS un
+        FROM raw_inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 100 >= {pct} * (sa.n + sb.n - inter)
+    """
+
+
+def _near_dedup_losers_cte(pct: int) -> str:
+    """Continuation CTEs: qualifying pairs → recursive-CTE connected
+    components (min-label, same pattern as `embedding_clusters`) →
+    ``losers`` = every node that isn't its component's minimum — the
+    SQL statement of ``near_dedup_filter``'s survivor contract.
+    Must follow ``_exact_jaccard_cte`` inside a WITH RECURSIVE."""
+    return f"""e AS (
+            SELECT id_a AS a, id_b AS b
+            FROM raw_inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter * 100 >= {pct} * (sa.n + sb.n - inter)
+        ), sym AS (
+            SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+        ), pnodes AS (
+            SELECT DISTINCT a AS n FROM sym
+        ), reach(n, m) AS (
+            SELECT n, n FROM pnodes
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        ), losers AS (
+            SELECT n FROM reach GROUP BY n HAVING n <> min(m)
+        )"""
+
+
+ORACLE_SQL["docs_exact_jaccard_pairs"] = _exact_jaccard_pairs_sql(35)
+ORACLE_SQL["ngram_jaccard_pairs"] = _exact_jaccard_pairs_sql(35)
+ORACLE_SQL["minhash_pairs"] = _exact_jaccard_pairs_sql(50)
+
+ORACLE_SQL["corpus_near_dedup"] = f"""
+        WITH RECURSIVE {_exact_jaccard_cte()}, {_near_dedup_losers_cte(50)}
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT n FROM losers)
+"""
+
+# Conversation-level near-dedup (r5): DuckDB reassembles every
+# conversation document exactly as pipelines/conversations.py does —
+# '[role] clean_text' per non-failed turn, joined by blank lines in
+# turn order (role from the raw corpus; clean_text/status from the
+# expected-extract parquet, itself oracled by flagship_extract_hashes)
+# — then runs the same exact-pair → components → min-survivor chain.
+ORACLE_SQL["conversations_near_dedup"] = f"""
+        WITH RECURSIVE turns AS (
+            SELECT e.conv_id, e.turn_idx, r.role, e.clean_text, e.status
+            FROM read_parquet('{_EXPECTED_PATHS["extract"]}') e
+            JOIN read_parquet('{_CORPUS_GLOB}') r
+              ON e.conv_id = r.conv_id AND e.turn_idx = r.turn_idx
+        ), conv_docs AS (
+            SELECT CAST(substr(conv_id, 6) AS BIGINT) AS doc_id,
+                   conv_id,
+                   coalesce(string_agg(
+                       CASE WHEN status <> 'parse_failure'
+                            THEN '[' || role || '] ' || clean_text END,
+                       chr(10) || chr(10) ORDER BY turn_idx), '') AS text
+            FROM turns GROUP BY conv_id
+        ), {_exact_jaccard_cte("conv_docs")}, {_near_dedup_losers_cte(70)}
+        SELECT conv_id, CAST(length(text) AS BIGINT) AS doc_chars
+        FROM conv_docs
+        WHERE doc_id NOT IN (SELECT n FROM losers)
+"""
 
 
 # ===================================================================

@@ -246,6 +246,36 @@ class TestLshRecall:
         ]
         pd.testing.assert_frame_equal(lsh, exact, check_dtype=False)
 
+    def test_minhash_pairs_lsh_equals_exact_at_sf001(self):
+        """r5: the oracled `minhash_pairs` claim — at 32×2 banding the
+        τ=0.5 LSH pair set equals the exact inverted-index result on
+        the sf0.01 corpus, value-for-value (per-pair miss probability
+        ≤1e-14 at the corpus's j≥0.8 pairs)."""
+        import duckdb
+
+        from ocr_processor_ray.queries_catalog import ORACLE_SQL, QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        lsh = (
+            QUERIES["minhash_pairs"](sf)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+        want = (
+            con.sql(ORACLE_SQL["minhash_pairs"])
+            .df()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            lsh[["id_a", "id_b", "inter", "un"]],
+            want[["id_a", "id_b", "inter", "un"]],
+            check_dtype=False,
+        )
+
     def test_counts_emission_matches_integer_filter(self):
         """`emit="counts"` must apply the same all-integer τ filter as
         the oracle SQL (100·inter ≥ pct·un) and agree pairwise with the
