@@ -112,9 +112,9 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "minhash_pairs",
     "embedding_clusters",
-    "training_corpus",
-    "conversations_near_dedup",
-    "conversation_line_dedup",
+    "training_corpus_sf",
+    "conversations_near_dedup_sf",
+    "conversation_line_dedup_sf",
     "embedding_kmeans",
 ]
 
@@ -424,17 +424,17 @@ _FINAL_LINE_BUDGET = 1800
 # file, summarized by n_queries / queries_total_sec / queries_max)
 _COMPACT_QUERIES = [
     "minhash_pairs",
-    "conversations_near_dedup",
+    "conversations_near_dedup_sf",
     "embedding_clusters",
     "embedding_kmeans",
-    "training_corpus",
+    "training_corpus_sf",
     "building_segment_revenue",
     "revenue_by_nation",
     "top_orders_revenue",
     "events_asof_purchase",
     "docs_exact_jaccard_pairs",
     "simhash_pairs",
-    "conversation_line_dedup",
+    "conversation_line_dedup_sf",
 ]
 
 

@@ -278,13 +278,22 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_topk_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN. No oracle BY NATURE of this corpus: the
+    embeddings table is isotropic random, so vec 0's true "top-10"
+    (cosine ≈ 0.1-0.5) are statistically indistinguishable from random
+    vectors and no sublinear method can be expected to recover them —
+    measured planted-neighbor recall is 10/10 (tests/test_functions.py),
+    which is the meaningful claim for real corpora."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return lsh_topk(ds, _query_vec(sf_dir), k=10, round_to=4)
 
 
 def q_ann_topk_ivf(sf_dir: str):
     """IVF ANN: spherical-kmeans cells trained on a bounded sample,
-    probe only the query's nearest cells (functions/similarity.ivf_topk)."""
+    probe only the query's nearest cells (functions/similarity.ivf_topk).
+    No oracle for the same reason as `ann_topk_lsh` (isotropic corpus —
+    sublinear recall of near-random neighbors is information-
+    theoretically limited); planted-neighbor recall is 10/10 in pytest."""
     from ocr_processor_ray.functions.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2721,13 +2730,19 @@ def q_flagship_extract(sf_dir: str):
 
 
 def q_conversation_docs(sf_dir: str):
-    """Per-conversation document assembly over the same synthetic corpus."""
+    """Per-conversation document assembly — ORACLED byte-for-byte (r5):
+    over the FIXED oracle corpus, DuckDB reassembles every document
+    from the expected-extract parquet (string_agg in turn order) and
+    the full `doc` string crosses the value-hash compare, so the salted
+    two-stage assembly shuffle is proven to concatenate exactly."""
     from ocr_processor_ray.config import ExtractConfig
     from ocr_processor_ray.pipelines.conversations import assemble_conversations
     from ocr_processor_ray.pipelines.extract_pipeline import run_extract
 
     cfg = ExtractConfig(salt_turn_threshold=256, read_num_blocks=16)
-    return assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
+    return assemble_conversations(
+        run_extract(_ensure_corpus(_oracle_corpus_dir(), 42, 150), cfg), cfg
+    )
 
 
 def q_conversation_doc_stats(sf_dir: str):
@@ -2751,22 +2766,20 @@ def q_conversation_doc_stats(sf_dir: str):
     return docs.select_columns(["conv_id", "n_turns", "n_failed", "n_skipped"])
 
 
-def q_training_corpus(sf_dir: str):
-    """The WHOLE training-corpus build in one streaming pipeline:
-    raw transcripts → per-turn extraction (flagship map) → salted
+def _training_corpus_pipeline(paths: list[str]):
+    """raw transcripts → per-turn extraction (flagship map) → salted
     conversation assembly → integer quality gates (≥3 turns, ≥200
     chars, zero parse failures) → exact dedup on the assembled doc.
     One extraction pass, one assembly shuffle, one tiny dedup fold —
     the end-to-end shape every stage in this repo exists to serve.
-    Synthetic corpus input → rows-only driver check; determinism is
-    exercised by the repeated-run comparison."""
+    → (conv_id = min per distinct content, n = copies)."""
     from ocr_processor_ray.config import ExtractConfig
     from ocr_processor_ray.functions.dedup import exact_dedup_groups
     from ocr_processor_ray.pipelines.conversations import assemble_conversations
     from ocr_processor_ray.pipelines.extract_pipeline import run_extract
 
     cfg = ExtractConfig(salt_turn_threshold=256, read_num_blocks=16)
-    docs = assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
+    docs = assemble_conversations(run_extract(paths, cfg), cfg)
 
     def gate(b: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -2779,9 +2792,33 @@ def q_training_corpus(sf_dir: str):
         return b.filter(keep).select(["conv_id", "doc"])
 
     gated = docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
-    # fast128: vectorized two-lane siphash — no per-row md5 (this query
-    # has no SQL oracle, so no DuckDB md5() parity to preserve)
-    return exact_dedup_groups(gated, id_col="conv_id", text_col="doc", hash="fast128")
+    # fast128: vectorized two-lane siphash — no per-row md5 (the oracle
+    # groups by the doc TEXT itself, so no DuckDB md5() parity needed)
+    grouped = exact_dedup_groups(gated, id_col="conv_id", text_col="doc", hash="fast128")
+    return grouped.map_batches(
+        lambda b: b.select(["conv_id", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_training_corpus(sf_dir: str):
+    """The WHOLE training-corpus build, ORACLED end-to-end (r5): over
+    the FIXED oracle corpus, DuckDB reassembles the docs (the
+    `conversation_docs` assembly CTE), applies the same integer gates,
+    and groups by the doc text itself — so extraction, assembly, gating
+    and the exact-dedup survivor rule are all proven in one row. The
+    internal 128-bit content hash never crosses the compare (its
+    collision envelope is pytest-pinned); `training_corpus_sf` keeps
+    the sf-scaled rows-only variant for bench comparability."""
+    return _training_corpus_pipeline(_ensure_corpus(_oracle_corpus_dir(), 42, 150))
+
+
+def q_training_corpus_sf(sf_dir: str):
+    """sf-scaled `training_corpus` (corpus size keyed to the sf dir) —
+    the benchmarked variant; correctness is oracled on the fixed-corpus
+    twin above."""
+    return _training_corpus_pipeline(_flagship_corpus(sf_dir))
 
 
 def q_conversations_near_dedup(sf_dir: str):
@@ -2801,6 +2838,15 @@ def q_conversations_near_dedup(sf_dir: str):
     return near_dedup_conversations(
         _ensure_corpus(_oracle_corpus_dir(), 42, 150), n_bands=32
     )
+
+
+def q_conversations_near_dedup_sf(sf_dir: str):
+    """sf-scaled `conversations_near_dedup` (corpus size keyed to the
+    sf dir) — the benchmarked variant; correctness is oracled on the
+    fixed-corpus twin above."""
+    from ocr_processor_ray.pipelines.conversations import near_dedup_conversations
+
+    return near_dedup_conversations(_flagship_corpus(sf_dir), n_bands=32)
 
 
 def q_flagship_extract_visual(sf_dir: str):
@@ -2976,7 +3022,9 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_audio_chunks": q_media_audio_chunks,
     "training_corpus": q_training_corpus,
+    "training_corpus_sf": q_training_corpus_sf,
     "conversations_near_dedup": q_conversations_near_dedup,
+    "conversations_near_dedup_sf": q_conversations_near_dedup_sf,
     "flagship_extract_visual": q_flagship_extract_visual,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_security_scan": q_doc_security_scan,
@@ -3850,14 +3898,13 @@ ORACLE_SQL["corpus_near_dedup"] = f"""
         WHERE doc_id NOT IN (SELECT n FROM losers)
 """
 
-# Conversation-level near-dedup (r5): DuckDB reassembles every
-# conversation document exactly as pipelines/conversations.py does —
-# '[role] clean_text' per non-failed turn, joined by blank lines in
-# turn order (role from the raw corpus; clean_text/status from the
-# expected-extract parquet, itself oracled by flagship_extract_hashes)
-# — then runs the same exact-pair → components → min-survivor chain.
-ORACLE_SQL["conversations_near_dedup"] = f"""
-        WITH RECURSIVE turns AS (
+# Conversation assembly stated in SQL: '[role] clean_text' per
+# non-failed turn, joined by blank lines in turn order (role from the
+# raw corpus; clean_text/status from the expected-extract parquet,
+# itself oracled by flagship_extract_hashes). Shared by every
+# conversation-level oracle below.
+_CONV_ASSEMBLY_CTE = f"""
+        turns AS (
             SELECT e.conv_id, e.turn_idx, r.role, e.clean_text, e.status
             FROM read_parquet('{_EXPECTED_PATHS["extract"]}') e
             JOIN read_parquet('{_CORPUS_GLOB}') r
@@ -3865,12 +3912,73 @@ ORACLE_SQL["conversations_near_dedup"] = f"""
         ), conv_docs AS (
             SELECT CAST(substr(conv_id, 6) AS BIGINT) AS doc_id,
                    conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN status = 'parse_failure'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(sum(CASE WHEN status = 'skipped'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
                    coalesce(string_agg(
                        CASE WHEN status <> 'parse_failure'
                             THEN '[' || role || '] ' || clean_text END,
                        chr(10) || chr(10) ORDER BY turn_idx), '') AS text
             FROM turns GROUP BY conv_id
-        ), {_exact_jaccard_cte("conv_docs")}, {_near_dedup_losers_cte(70)}
+        )"""
+
+# Full assembly output oracled byte-for-byte (r5): the doc string
+# itself crosses the value-hash compare, proving the salted two-stage
+# assembly reproduces the SQL's ordered concatenation exactly.
+ORACLE_SQL["conversation_docs"] = f"""
+        WITH {_CONV_ASSEMBLY_CTE}
+        SELECT conv_id, n_turns, n_failed, n_skipped, text AS doc,
+               CAST(length(text) AS BIGINT) AS doc_chars
+        FROM conv_docs
+"""
+
+# End-to-end training-corpus build (r5): assembly in SQL, the same
+# integer gates, exact dedup stated as GROUP BY the doc text itself.
+ORACLE_SQL["training_corpus"] = f"""
+        WITH {_CONV_ASSEMBLY_CTE}
+        SELECT min(conv_id) AS conv_id, CAST(count(*) AS BIGINT) AS n
+        FROM conv_docs
+        WHERE n_turns >= 3 AND length(text) >= 200 AND n_failed = 0
+        GROUP BY text
+"""
+
+# Corpus-level duplicate-line removal over assembled conversations
+# (r5): a line survives iff its packed (doc·2²⁰ + pos) is the corpus-
+# wide minimum for its content — the exact survivor rule dedup_lines
+# implements with 128-bit line hashes (the SQL joins on the literal
+# line text; the hash-collision envelope is documented in dedup.py).
+ORACLE_SQL["conversation_line_dedup"] = f"""
+        WITH {_CONV_ASSEMBLY_CTE}, lns AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10) || chr(10))) AS line,
+                   generate_subscripts(
+                       string_split(text, chr(10) || chr(10)), 1) - 1 AS pos
+            FROM conv_docs
+        ), win AS (
+            SELECT line, min(doc_id * 1048576 + pos) AS w, count(*) AS n
+            FROM lns GROUP BY line
+        ), flagged AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   (w.n = 1 OR l.doc_id * 1048576 + l.pos = w.w) AS keep
+            FROM lns l JOIN win w ON l.line = w.line
+        )
+        SELECT doc_id AS conv_int,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+               CAST(length(coalesce(string_agg(
+                   CASE WHEN keep THEN line END,
+                   chr(10) || chr(10) ORDER BY pos), ''))
+                    AS BIGINT) AS clean_chars
+        FROM flagged GROUP BY doc_id
+"""
+
+# Conversation-level near-dedup (r5): assembly in SQL, then the same
+# exact-pair → components → min-survivor chain as corpus_near_dedup.
+ORACLE_SQL["conversations_near_dedup"] = f"""
+        WITH RECURSIVE {_CONV_ASSEMBLY_CTE},
+        {_exact_jaccard_cte("conv_docs")}, {_near_dedup_losers_cte(70)}
         SELECT conv_id, CAST(length(text) AS BIGINT) AS doc_chars
         FROM conv_docs
         WHERE doc_id NOT IN (SELECT n FROM losers)
@@ -3986,12 +4094,7 @@ def q_docs_source_cap(sf_dir: str):
     )
 
 
-def q_conversation_line_dedup(sf_dir: str):
-    """Corpus-level duplicate-turn removal over ASSEMBLED conversations:
-    any turn text that repeats anywhere in the corpus keeps only its
-    first (conv, position) occurrence; conversations are reassembled
-    from surviving turns. Rows-only driver check; first-occurrence
-    semantics are pytest-verified with planted boilerplate."""
+def _conversation_line_dedup_pipeline(paths: list[str]):
     from ocr_processor_ray.config import ExtractConfig
     from ocr_processor_ray.functions.dedup import dedup_lines
     from ocr_processor_ray.pipelines.conversations import (
@@ -4001,7 +4104,7 @@ def q_conversation_line_dedup(sf_dir: str):
     from ocr_processor_ray.pipelines.extract_pipeline import run_extract
 
     cfg = ExtractConfig(salt_turn_threshold=256, read_num_blocks=16)
-    docs = assemble_conversations(run_extract(_flagship_corpus(sf_dir), cfg), cfg)
+    docs = assemble_conversations(run_extract(paths, cfg), cfg)
 
     def project(b: pa.Table) -> pa.Table:
         conv_int = pc.cast(
@@ -4027,6 +4130,29 @@ def q_conversation_line_dedup(sf_dir: str):
     )
 
 
+def q_conversation_line_dedup(sf_dir: str):
+    """Corpus-level duplicate-turn removal over ASSEMBLED conversations:
+    any turn text that repeats anywhere in the corpus keeps only its
+    first (conv, position) occurrence; conversations are reassembled
+    from surviving turns. ORACLED (r5) over the FIXED oracle corpus:
+    DuckDB reassembles the docs, splits on the turn separator, keeps
+    each line whose packed (doc·2²⁰+pos) is its content's corpus-wide
+    minimum (exactly the survivor rule dedup_lines shuffles), and
+    re-aggregates counts + surviving chars. First-occurrence semantics
+    remain pytest-verified with planted boilerplate;
+    `conversation_line_dedup_sf` keeps the sf-scaled bench variant."""
+    return _conversation_line_dedup_pipeline(
+        _ensure_corpus(_oracle_corpus_dir(), 42, 150)
+    )
+
+
+def q_conversation_line_dedup_sf(sf_dir: str):
+    """sf-scaled `conversation_line_dedup` (corpus size keyed to the sf
+    dir) — the benchmarked variant; correctness is oracled on the
+    fixed-corpus twin above."""
+    return _conversation_line_dedup_pipeline(_flagship_corpus(sf_dir))
+
+
 QUERIES.update(
     {
         "docs_decontaminate": q_docs_decontaminate,
@@ -4034,6 +4160,7 @@ QUERIES.update(
         "dedup_keep_best": q_dedup_keep_best,
         "docs_source_cap": q_docs_source_cap,
         "conversation_line_dedup": q_conversation_line_dedup,
+        "conversation_line_dedup_sf": q_conversation_line_dedup_sf,
     }
 )
 

@@ -225,6 +225,40 @@ class TestSimilarity:
         got2 = ivf_topk(ds, q, k=10, n_cells=16, n_probe=6)
         assert ids == got2["vec_id"].to_pylist()
 
+    def test_ann_planted_neighbors_full_recall(self):
+        """On STRUCTURED data (10 planted near-copies of the query,
+        cosine ≈ 0.95+) both sublinear methods must find all 10 — the
+        meaningful recall claim for real corpora; the random-data
+        assertions above bound behavior on isotropic noise, where
+        sublinear recall of near-random 'neighbors' is information-
+        theoretically limited (see q_ann_topk_lsh docstring)."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            lsh_topk,
+        )
+
+        rng = np.random.RandomState(0)
+        dim = 32
+        base = rng.standard_normal((2000, dim)).astype(np.float32)
+        q = rng.standard_normal(dim).astype(np.float32)
+        for i in range(10):
+            base[100 + i] = q + 0.1 * rng.standard_normal(dim).astype(np.float32)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(2000), pa.int64()),
+                    "embedding": pa.array(base.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        )
+        want = set(brute_force_topk(ds, q, k=10)["vec_id"].to_pylist())
+        assert want == set(range(100, 110))
+        assert set(ivf_topk(ds, q, k=10, n_cells=16, n_probe=6)["vec_id"].to_pylist()) == want
+        assert set(lsh_topk(ds, q, k=10)["vec_id"].to_pylist()) == want
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestJoins:
