@@ -2177,9 +2177,10 @@ def q_purchase_graph_pagerank(sf_dir: str):
     orders⋈lineitem join (never a driver-side edge list), node ids are
     disjointly encoded (2·custkey vs 2·suppkey+1), and every iteration
     is bounded joins + one hash sum in exact int64 quanta (bit-identical
-    under any block layout — see graph.pagerank). Rows-only: iterative,
-    not SQL-expressible; determinism + exact-integer-reference parity
-    are pytest-pinned."""
+    under any block layout — see graph.pagerank). ORACLED (r5): the
+    fixed iteration count is UNROLLED into chained DuckDB CTEs whose
+    integer `//` reproduces every quantum (`_pagerank_oracle_sql`);
+    exact-integer-reference parity is also pytest-pinned."""
     from ocr_processor_ray.functions.graph import pagerank
     from ocr_processor_ray.functions.relational import bucketed_join
 
@@ -4175,6 +4176,90 @@ ORACLE_SQL["docs_decontaminate"] = f"""
     SELECT d.doc_id,
            EXISTS (SELECT 1 FROM snip WHERE contains(d.text, snip.s))
                AS contaminated
+    FROM documents d
+"""
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**12, d: int = 85) -> str:
+    """Integer fixed-point PageRank stated in SQL by UNROLLING the fixed
+    iteration count into chained CTEs (r5) — possible precisely because
+    graph.pagerank is exact int64 with floor division everywhere, so
+    DuckDB's integer `//` reproduces every quantum: per-edge
+    contribution rank_q // deg, dangling mass folded back as
+    dq // n, new = teleport + (in + share) * d // 100."""
+    parts = f"""
+        edges AS (
+            SELECT CAST(o_custkey AS BIGINT) * 2 AS src,
+                   CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+        ), deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ), params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (
+            SELECT node, {scale} // (SELECT n FROM params) AS rank_q FROM nodes
+        )"""
+    for i in range(iters):
+        parts += f""", d{i} AS (
+            SELECT coalesce(sum(rank_q), 0) AS dq FROM r{i}
+            WHERE node NOT IN (SELECT node FROM deg)
+        ), c{i} AS (
+            SELECT e.dst AS node, sum(r.rank_q // g.deg) AS in_q
+            FROM edges e
+            JOIN r{i} r ON e.src = r.node
+            JOIN deg g ON g.node = e.src
+            GROUP BY e.dst
+        ), r{i + 1} AS (
+            SELECT n.node,
+                   (100 - {d}) * {scale} // 100 // (SELECT n FROM params)
+                   + (coalesce(c.in_q, 0)
+                      + (SELECT dq FROM d{i}) // (SELECT n FROM params))
+                     * {d} // 100 AS rank_q
+            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+        )"""
+    return f"""
+        WITH {parts}
+        SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
+                   AS node_type,
+               node // 2 AS entity_id,
+               rank_q
+        FROM r{iters}
+    """
+
+
+ORACLE_SQL["purchase_graph_pagerank"] = _pagerank_oracle_sql(iters=3)
+
+# 13-gram decontamination stated in SQL (r5): the benchmark snippets'
+# word-13-windows and every doc's word-13-windows are materialized as
+# newline-joined token strings (chr(10) cannot occur inside a \\S+
+# token, so the join is injective) and matched by equality — the same
+# windows flag_contaminated_ngrams hashes and probes. Window
+# construction uses 1-based inclusive list_slice: python's
+# s.split()[5:25] is list_slice(w, 6, 25).
+ORACLE_SQL["docs_decontaminate_13gram"] = f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+    ), snips AS (
+        SELECT list_slice(w, 6, 25) AS sw FROM tok
+        WHERE doc_id % {_DECON_MOD} = 0 AND doc_id < {_DECON_MAX_ID}
+          AND len(list_slice(w, 6, 25)) >= 13
+    ), snip_pos AS (
+        SELECT sw, unnest(generate_series(1, len(sw) - 12)) AS i FROM snips
+    ), bench AS (
+        SELECT DISTINCT array_to_string(list_slice(sw, i, i + 12), chr(10)) AS g
+        FROM snip_pos
+    ), doc_pos AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 12)) AS i FROM tok
+    ), doc_grams AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 12), chr(10)) AS g
+        FROM doc_pos
+    ), hits AS (
+        SELECT DISTINCT dg.doc_id FROM doc_grams dg JOIN bench b ON dg.g = b.g
+    )
+    SELECT d.doc_id,
+           d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
     FROM documents d
 """
 ORACLE_SQL["dedup_keep_best"] = """
