@@ -152,6 +152,58 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
+def synth_wav_table(n: int = 32, seed: int = 13) -> pa.Table:
+    """Deterministic REAL-WAV corpus: PCM payloads written with stdlib
+    ``wave`` (varied rate / channel count / non-integral duration so the
+    chunker's floor arithmetic is exercised), plus the generator's
+    ground-truth columns (framerate, nframes, nchannels, sampwidth) an
+    oracle can derive expected chunk boundaries from. Every 8th row is
+    a corrupt non-WAV payload (framerate recorded 0) — the real chunk
+    path must skip it with zero rows (O8 semantics)."""
+    import io
+    import wave as _wave
+
+    rng = np.random.RandomState(seed)
+    rates = [8000, 11025, 16000]
+    ids, pays, frs, nfs, nchs, sws = [], [], [], [], [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 8 == 7:
+            pays.append(rng.bytes(64 + int(rng.randint(0, 256))))
+            frs.append(0)
+            nfs.append(0)
+            nchs.append(0)
+            sws.append(0)
+            continue
+        fr = rates[int(rng.randint(0, len(rates)))]
+        nch = int(rng.randint(1, 3))
+        sw = 2
+        dur_s = float(rng.uniform(2.0, 40.0))
+        nframes = int(dur_s * fr)
+        pcm = rng.bytes(nframes * nch * sw)
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(fr)
+            w.writeframes(pcm)
+        pays.append(buf.getvalue())
+        frs.append(fr)
+        nfs.append(nframes)
+        nchs.append(nch)
+        sws.append(sw)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(pays, pa.binary()),
+            "framerate": pa.array(frs, pa.int64()),
+            "nframes": pa.array(nfs, pa.int64()),
+            "nchannels": pa.array(nchs, pa.int64()),
+            "sampwidth": pa.array(sws, pa.int64()),
+        }
+    )
+
+
 class ResizeImage:
     """Actor-pool resize stage (real path would hold libvips from
     ``__init__``; fake path derives the resized payload + dims
@@ -471,11 +523,12 @@ class AudioChunk:
 
 def chunk_audio(ds: Dataset, chunk_ms: int = 30_000, overlap_ms: int = 1_000,
                 concurrency=(1, 4),
-                batch_size: int = DEFAULT_MEDIA_BATCH_SIZE) -> Dataset:
+                batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
+                fake: bool | None = True) -> Dataset:
     return ds.map_batches(
         AudioChunk,
         fn_constructor_kwargs={
-            "chunk_ms": chunk_ms, "overlap_ms": overlap_ms, "fake": True,
+            "chunk_ms": chunk_ms, "overlap_ms": overlap_ms, "fake": fake,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

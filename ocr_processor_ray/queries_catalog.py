@@ -2570,7 +2570,22 @@ def _oracle_expected_paths() -> dict[str, str]:
         "media": os.path.join(g, "opr_oracle_expected_media_n128_s9_v2.parquet"),
         # video-header generator ground truth (v2: + timescale column)
         "video": os.path.join(g, "opr_oracle_expected_video_n96_s11_v2.parquet"),
+        # real-WAV generator ground truth (framerate/nframes/channels/width)
+        "audio": os.path.join(g, "opr_oracle_expected_audio_n32_s13_v1.parquet"),
+        # visual-mode oracle extractor output (canonical span strings)
+        "visual": os.path.join(
+            g,
+            f"opr_oracle_expected_visual_v{SYNTH_VERSION}"
+            f"_e{_EXTRACT_SEMANTICS_VERSION}_150.parquet",
+        ),
     }
+
+
+def _spans_canon(spans: list[dict]) -> str:
+    """Canonical per-turn span string: 'start:end:kind' entries joined
+    by ';' — injective for int offsets + span kinds (no ';'/':' in a
+    kind), so string equality IS span-list equality."""
+    return ";".join(f"{s['start']}:{s['end']}:{s['kind']}" for s in spans)
 
 
 def _atomic_write_parquet(table: pa.Table, path: str) -> None:
@@ -2631,6 +2646,46 @@ def ensure_oracle_inputs() -> None:
         _atomic_write_parquet(
             synth_video_table_headers(n=96, seed=11).drop_columns(["payload"]),
             paths["video"],
+        )
+
+    if not os.path.exists(paths["audio"]):
+        from ocr_processor_ray.functions.multimodal import synth_wav_table
+
+        _atomic_write_parquet(
+            synth_wav_table(n=32, seed=13).drop_columns(["payload"]),
+            paths["audio"],
+        )
+
+    if not os.path.exists(paths["visual"]):
+        import pyarrow.parquet as pq
+
+        from ocr_processor_ray.oracle import oracle_extract_table
+
+        raw = pa.concat_tables([pq.read_table(f) for f in files])
+        vis = oracle_extract_table(raw, mode="visual")
+        _atomic_write_parquet(
+            pa.table(
+                {
+                    "conv_id": vis["conv_id"],
+                    "turn_idx": vis["turn_idx"],
+                    "status": vis["status"],
+                    "n_spans": pa.array(
+                        [len(s) for s in vis["spans"].to_pylist()], pa.int64()
+                    ),
+                    "n_word_spans": pa.array(
+                        [
+                            sum(1 for x in s if x["kind"] == "word")
+                            for s in vis["spans"].to_pylist()
+                        ],
+                        pa.int64(),
+                    ),
+                    "spans_canon": pa.array(
+                        [_spans_canon(s) for s in vis["spans"].to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            ),
+            paths["visual"],
         )
 
 
@@ -2851,28 +2906,34 @@ def q_conversations_near_dedup_sf(sf_dir: str):
 
 
 def q_flagship_extract_visual(sf_dir: str):
-    """Visual mode (O3 'visual'): word-level spans added — returned as
-    per-turn span counts (deterministic ints; the span structs themselves
-    are golden-tested against the oracle in pytest)."""
+    """Visual mode (O3 'visual'): word-level spans added. ORACLED
+    byte-for-byte (r5): each turn's span list is serialized to the
+    injective 'start:end:kind;…' canonical string and compared against
+    the single-threaded visual-mode oracle extractor's materialized
+    output — span OFFSETS and kinds cross the driver compare, not just
+    counts. Fixed oracle corpus, same pattern as
+    flagship_extract_hashes."""
     from ocr_processor_ray.config import ExtractConfig
     from ocr_processor_ray.pipelines.extract_pipeline import run_extract
 
-    paths = _flagship_corpus(sf_dir)
+    paths = _ensure_corpus(_oracle_corpus_dir(), 42, 150)
     ds = run_extract(paths, ExtractConfig(mode="visual"))
 
     def span_counts(b: pa.Table) -> pa.Table:
-        word_counts = []
-        totals = []
-        for spans in b["spans"].to_pylist():
-            totals.append(len(spans))
-            word_counts.append(sum(1 for s in spans if s["kind"] == "word"))
+        spans_l = b["spans"].to_pylist()
         return pa.table(
             {
                 "conv_id": b["conv_id"],
                 "turn_idx": b["turn_idx"],
                 "status": b["status"],
-                "n_spans": pa.array(totals, pa.int64()),
-                "n_word_spans": pa.array(word_counts, pa.int64()),
+                "n_spans": pa.array([len(s) for s in spans_l], pa.int64()),
+                "n_word_spans": pa.array(
+                    [sum(1 for x in s if x["kind"] == "word") for s in spans_l],
+                    pa.int64(),
+                ),
+                "spans_canon": pa.array(
+                    [_spans_canon(s) for s in spans_l], pa.string()
+                ),
             }
         )
 
@@ -2941,7 +3002,11 @@ def q_media_video_headers(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing: binary payloads → actor-pool decode (stubbed)."""
+    """Multimodal plumbing: binary payloads → actor-pool decode. No
+    oracle: the codec is the documented PIL seam (absent from this
+    container), so the stub's hash-derived pixels have no independent
+    ground truth; the Ray-side plumbing (schema, actor pool, batch
+    sizing) is what this row exercises."""
     import ray.data as rd2
 
     from ocr_processor_ray.functions.multimodal import decode_images, synth_media_table
@@ -2951,7 +3016,8 @@ def q_media_decode(sf_dir: str):
 
 
 def q_media_resize(sf_dir: str):
-    """Multimodal resize stage (stubbed codec; real actor-pool plumbing)."""
+    """Multimodal resize stage (stubbed codec; real actor-pool
+    plumbing). No oracle for the same reason as `media_decode`."""
     import ray.data as rd2
 
     from ocr_processor_ray.functions.multimodal import resize_images, synth_media_table
@@ -2972,13 +3038,35 @@ def q_media_frame_sample(sf_dir: str):
 
 def q_media_audio_chunks(sf_dir: str):
     """Audio chunking: fixed windows with overlap, one row per chunk
-    (the streaming-ASR pre-processing explode)."""
+    (the streaming-ASR pre-processing explode). ORACLED on the REAL
+    path (r5): payloads are genuine PCM WAV containers parsed by stdlib
+    ``wave``; DuckDB derives expected window boundaries and PCM slice
+    sizes purely from the generator's recorded (framerate, nframes,
+    nchannels, sampwidth) ground truth — so header parsing, the floor
+    window arithmetic AND the byte-exact slice lengths are verified
+    driver-visibly. Corrupt (non-WAV) rows must contribute zero chunks.
+    The chunk payload itself is reduced to its octet length for the
+    compare; slice-content correctness is pytest-pinned
+    (TestAudioVideoSeams)."""
     import ray.data as rd2
 
-    from ocr_processor_ray.functions.multimodal import chunk_audio, synth_media_table
+    from ocr_processor_ray.functions.multimodal import chunk_audio, synth_wav_table
 
-    ds = rd2.from_arrow(synth_media_table(n=32, seed=13))
-    return chunk_audio(ds, chunk_ms=60_000, overlap_ms=5_000)
+    ds = rd2.from_arrow(synth_wav_table(n=32, seed=13))
+    chunks = chunk_audio(ds, chunk_ms=60_000, overlap_ms=5_000, fake=False)
+    return chunks.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "chunk_idx": pc.cast(b["chunk_idx"], pa.int64()),
+                "start_ms": b["start_ms"],
+                "end_ms": b["end_ms"],
+                "chunk_bytes": pc.cast(pc.binary_length(b["chunk"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # ===================================================================
@@ -3890,6 +3978,40 @@ def _near_dedup_losers_cte(pct: int) -> str:
 
 ORACLE_SQL["docs_exact_jaccard_pairs"] = _exact_jaccard_pairs_sql(35)
 ORACLE_SQL["ngram_jaccard_pairs"] = _exact_jaccard_pairs_sql(35)
+
+# Visual-mode span equality (r5): the canonical span strings of the
+# single-threaded visual oracle extractor, pre-materialized by
+# ensure_oracle_inputs — offsets and kinds cross the compare verbatim.
+ORACLE_SQL["flagship_extract_visual"] = f"""
+    SELECT conv_id, turn_idx, status, n_spans, n_word_spans, spans_canon
+    FROM read_parquet('{_EXPECTED_PATHS["visual"]}')
+"""
+
+# Real-WAV chunking vs generator ground truth (r5): duration, window
+# boundaries and PCM slice sizes derived purely from the recorded
+# (framerate, nframes, nchannels, sampwidth); 60 s windows, 5 s
+# overlap → 55 s step. Corrupt rows (framerate 0) contribute nothing.
+ORACLE_SQL["media_audio_chunks"] = f"""
+    WITH src AS (
+        SELECT media_id, framerate, nchannels, sampwidth,
+               nframes * 1000 // framerate AS dur
+        FROM read_parquet('{_EXPECTED_PATHS["audio"]}')
+        WHERE framerate > 0
+    ), pos AS (
+        SELECT media_id, framerate, nchannels, sampwidth, dur,
+               unnest(generate_series(0, (dur - 1) // 55000)) AS i
+        FROM src
+        WHERE dur > 0
+    )
+    SELECT media_id,
+           i AS chunk_idx,
+           i * 55000 AS start_ms,
+           least(i * 55000 + 60000, dur) AS end_ms,
+           (least(i * 55000 + 60000, dur) * framerate // 1000
+            - i * 55000 * framerate // 1000)
+           * nchannels * sampwidth AS chunk_bytes
+    FROM pos
+"""
 ORACLE_SQL["minhash_pairs"] = _exact_jaccard_pairs_sql(50)
 
 ORACLE_SQL["corpus_near_dedup"] = f"""
@@ -4402,7 +4524,11 @@ def q_embedding_kmeans(sf_dir: str):
     """Full-corpus distributed k-means (integer-quantized partial sums →
     bit-identical under any merge order; tree-folded — O(k×dim) driver
     traffic per round). Reports per-cluster size and mean assigned
-    cosine similarity, every aggregate integer until one final division."""
+    cosine similarity, every aggregate integer until one final division.
+    No SQL oracle: the iterative centroid updates use float matmuls
+    DuckDB cannot reproduce bit-for-bit (unlike PageRank's all-integer
+    loop); determinism across block layouts is pytest-pinned
+    (tests/test_kmeans.py)."""
     from ocr_processor_ray.functions.similarity import _KMEANS_SCALE, distributed_kmeans
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
