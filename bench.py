@@ -408,8 +408,13 @@ def run_scaling() -> dict:
     )
     best_lo = max(p["turns_per_sec"][0] for p in pairs)
     best_hi = max(p["turns_per_sec"][1] for p in pairs)
-    med_lo = sorted(p["turns_per_sec"][0] for p in pairs)[len(pairs) // 2]
-    med_hi = sorted(p["turns_per_sec"][1] for p in pairs)[len(pairs) // 2]
+    def _median(vals: list) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    med_lo = _median([p["turns_per_sec"][0] for p in pairs])
+    med_hi = _median([p["turns_per_sec"][1] for p in pairs])
     return {
         "metric": "scaling efficiency (throughput ratio / cpu ratio)",
         "value": median_eff,

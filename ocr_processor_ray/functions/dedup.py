@@ -376,12 +376,16 @@ def minhash_band_rows(
 MAX_BUCKET_MEMBERS = 50  # caps quadratic candidate blowup per bucket
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
+def _bucket_pairs(group: pa.Table, max_members: int = MAX_BUCKET_MEMBERS) -> pa.Table:
     """Candidate pairs from ONE ``_cbucket`` of band rows: group by the
     exact (band, band_key) in-task, emit all-pairs per LSH bucket.
-    Over-full LSH buckets are truncated to ``MAX_BUCKET_MEMBERS``
-    (lowest ids kept, deterministic) and the drop is LOGGED — silent
-    truncation at scale would read as full coverage."""
+    Over-full LSH buckets are truncated to ``max_members`` (lowest ids
+    kept, deterministic) and the drop is LOGGED — silent truncation at
+    scale would read as full coverage. Note this is a RECALL bound
+    distinct from banding: a duplicate group larger than ``max_members``
+    shares every band bucket, so pairs involving the dropped (highest)
+    ids are never candidates in ANY band. Raise it when exact pair-set
+    parity matters more than the O(max_members²)-per-bucket cap."""
     keys = zip(group["band"].to_pylist(), group["band_key"].to_pylist())
     ids = group["doc_id"].to_pylist()
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -392,18 +396,18 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     for members in buckets.values():
         if len(members) < 2:
             continue
-        if len(members) > MAX_BUCKET_MEMBERS:
-            n_dropped += len(members) - MAX_BUCKET_MEMBERS
-        members = sorted(members)[:MAX_BUCKET_MEMBERS]
+        if len(members) > max_members:
+            n_dropped += len(members) - max_members
+        members = sorted(members)[:max_members]
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 a.append(members[i])
                 b.append(members[j])
     if n_dropped:
         logger.warning(
-            "minhash-lsh: truncated %d members beyond MAX_BUCKET_MEMBERS=%d",
+            "minhash-lsh: truncated %d members beyond max_members=%d",
             n_dropped,
-            MAX_BUCKET_MEMBERS,
+            max_members,
         )
     return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
@@ -429,32 +433,44 @@ def _distinct_pair_ids(pairs: Dataset, col: str) -> np.ndarray | None:
     Streams only the single int64 column to the driver (16 B per pair,
     already bounded upstream by per-bucket candidate truncation) — never
     text. Sorted so membership tests are a vectorized searchsorted."""
-    parts: list[np.ndarray] = []
-    total = 0
+    # merge per-batch uniques INCREMENTALLY: buffering every batch's
+    # uniques before one global np.unique would hold up to 8× the budget
+    # (plus the concatenate copy) on the driver before deciding to bail —
+    # a multi-GB spike exactly at the scale the budget protects against.
+    # The running merged array is capped at _BROADCAST_ID_LIMIT, so peak
+    # driver memory is limit + one pending buffer, and the over-budget
+    # exit fires on the first merge that exceeds it.
+    merged = np.empty(0, np.int64)
+    pending: list[np.ndarray] = []
+    pending_n = 0
+
+    def fold() -> "np.ndarray | None":
+        out = np.unique(np.concatenate([merged, *pending]))
+        return None if out.size > _BROADCAST_ID_LIMIT else out
+
     for b in pairs.select_columns([col]).iter_batches(
         batch_size=1 << 20, batch_format="pyarrow"
     ):
-        u = pc.unique(b[col]).to_numpy(zero_copy_only=False)
-        parts.append(u)
-        total += u.size
-        # per-batch-unique total overestimates the global distinct count;
-        # bail only when even the overestimate's floor is over budget
-        if total > 8 * _BROADCAST_ID_LIMIT:
-            logger.warning(
-                "pair-verify: candidate %s set exceeds the broadcast budget "
-                "(>%d ids seen); falling back to full-docs bucketed attach",
-                col,
-                total,
-            )
-            return None
-    ids = (
-        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-    ).astype(np.int64, copy=False)
-    if ids.size > _BROADCAST_ID_LIMIT:
+        u = pc.unique(b[col]).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pending.append(u)
+        pending_n += u.size
+        if pending_n >= _BROADCAST_ID_LIMIT:
+            m = fold()
+            if m is None:
+                logger.warning(
+                    "pair-verify: candidate %s set exceeds the broadcast "
+                    "budget (%d ids); falling back to full-docs bucketed "
+                    "attach",
+                    col,
+                    _BROADCAST_ID_LIMIT,
+                )
+                return None
+            merged, pending, pending_n = m, [], 0
+    ids = fold() if pending else merged
+    if ids is None:
         logger.warning(
-            "pair-verify: %d distinct %s candidates exceed the broadcast "
+            "pair-verify: distinct %s candidates exceed the broadcast "
             "budget (%d); falling back to full-docs bucketed attach",
-            ids.size,
             col,
             _BROADCAST_ID_LIMIT,
         )
@@ -559,8 +575,27 @@ def _broadcast_pair_verify(
 
     def attach_and_verify(b: pa.Table) -> pa.Table:
         lut = ray.get(lookup_ref)  # local zero-copy read after first fetch
-        ia = np.searchsorted(lut["ids"], b["id_a"].to_numpy(zero_copy_only=False))
-        ib = np.searchsorted(lut["ids"], b["id_b"].to_numpy(zero_copy_only=False))
+        ka = b["id_a"].to_numpy(zero_copy_only=False)
+        kb_ = b["id_b"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(lut["ids"], ka)
+        ib = np.searchsorted(lut["ids"], kb_)
+        # loud on a candidate id missing from docs (pre-filtered docs,
+        # id dtype mismatch): searchsorted alone would silently attach a
+        # NEIGHBORING row's payload and verify against unrelated content
+        n = lut["ids"].size
+        if n:
+            bad_a = (ia >= n) | (lut["ids"][np.minimum(ia, n - 1)] != ka)
+            bad_b = (ib >= n) | (lut["ids"][np.minimum(ib, n - 1)] != kb_)
+        else:
+            bad_a = np.ones(ka.size, bool)
+            bad_b = np.ones(kb_.size, bool)
+        if bad_a.any() or bad_b.any():
+            missing = np.unique(np.concatenate([ka[bad_a], kb_[bad_b]]))[:5]
+            raise KeyError(
+                f"pair-verify: candidate ids {missing.tolist()} not present "
+                f"in docs[{id_col!r}] — docs must cover every id emitted in "
+                "raw_pairs"
+            )
         return finalize(
             pa.table(
                 {
@@ -834,6 +869,7 @@ def minhash_lsh_pairs(
     num_join_buckets: int = 16,
     n_bands: int = N_BANDS,
     emit: str = "jaccard",
+    max_bucket_members: int = MAX_BUCKET_MEMBERS,
 ) -> Dataset:
     """Near-duplicate pairs with exact-Jaccard verification.
 
@@ -850,7 +886,10 @@ def minhash_lsh_pairs(
     <k words fold to a single whole-doc shingle (so identical short
     docs pair at jaccard 1.0) whereas a SQL k-gram formulation emits
     no shingles for them — equivalent only on corpora without sub-k
-    documents.
+    documents. ``max_bucket_members`` caveat: a duplicate group larger
+    than it loses the pairs of its dropped members in EVERY band (see
+    ``_bucket_pairs``) — exact-pair-set parity with a SQL oracle
+    additionally requires no such group (the drop is logged).
     """
     bands = ds.map_batches(
         lambda t: minhash_band_rows(
@@ -860,7 +899,7 @@ def minhash_lsh_pairs(
         zero_copy_batch=True,
     )
     raw_pairs = bands.groupby("_cbucket").map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+        lambda g: _bucket_pairs(g, max_bucket_members), batch_format="pyarrow"
     )
     # pair dedup (n_bands count) happens INSIDE the first verify shuffle —
     # all duplicates of a pair share id_a, so they co-locate there for free
@@ -1181,6 +1220,7 @@ def near_dedup_filter(
     text_col: str = "text",
     threshold: float = 0.7,
     n_bands: int = N_BANDS,
+    max_bucket_members: int = MAX_BUCKET_MEMBERS,
 ) -> Dataset:
     """The dedup DECISION applied: MinHash-LSH pairs → connected
     components → keep one survivor (minimum id) per cluster, pass every
@@ -1203,7 +1243,12 @@ def near_dedup_filter(
     from ocr_processor_ray.functions.relational import bucketed_join
 
     pairs = minhash_lsh_pairs(
-        ds, id_col=id_col, text_col=text_col, threshold=threshold, n_bands=n_bands
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        n_bands=n_bands,
+        max_bucket_members=max_bucket_members,
     )
     cc = connected_components(pairs)
     losers = cc.map_batches(

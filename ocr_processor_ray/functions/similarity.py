@@ -103,6 +103,7 @@ def embedding_near_dup_pairs(
     round_to: int = 5,
     max_bucket: int = 500,
     num_join_buckets: int = 16,
+    n_rows: int | None = None,
 ) -> Dataset:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets.
 
@@ -121,18 +122,40 @@ def embedding_near_dup_pairs(
     * **Overflowing buckets split recursively, never truncate**: each
       row carries its full 32-bit sign key, so a bucket beyond
       ``max_bucket`` is subdivided in-task by the next sign bits until
-      it fits — no pairs are silently dropped. Only a cluster identical
-      in all 32 sign bits can still overflow; it gets a
-      connectivity-preserving STAR (min-id to others, O(c) pairs) with
-      a logged warning instead of O(c²) pairs.
+      it fits. Note the split consumes extra sign bits, so for pairs
+      inside hot buckets the per-table collision probability is below
+      the kb-bit formula above — the formula is exact only in the
+      no-overflow regime (what tests/test_lsh_recall.py pins). Only a
+      cluster identical in all 32 sign bits can still overflow; it gets
+      a STAR (one center to all others, O(c) pairs) with a logged
+      warning instead of O(c²) pairs. The star center ROTATES with the
+      table index (table t probes ``u[t % c]``), so a center that is a
+      below-threshold outlier costs only that table's edges; losing the
+      cluster entirely requires all ``n_tables`` probed centers to be
+      outliers. In this (near-uniform-cluster) regime recall is
+      heuristic, not the formula bound.
     * Cross-table pair dedup and the exact-cosine verify ride the same
       two bounded bucketed exchanges as MinHash verification.
     """
     from ocr_processor_ray.functions.dedup import bucketed_pair_verify
 
-    # metadata-only on a parquet read; computed inputs should be
-    # .materialize()d by the caller (consumed twice: explode + verify)
-    n_rows = ds.count()
+    # ds is consumed up to 3× (count for the adaptive key width, explode,
+    # verify attach). On a column-pruned parquet read the count is
+    # metadata-only and re-reads are the cheap streaming shape; a COMPUTED
+    # input would re-execute its upstream per consumer — materialize it
+    # here unless the caller already did (materialize() on a materialized
+    # dataset is a no-op) or passed the row count. Callers that know the
+    # count can pass n_rows to keep a parquet read fully lazy.
+    if n_rows is None:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        try:
+            is_read = isinstance(ds._plan._logical_plan.dag, Read)
+        except Exception:
+            is_read = False
+        if not is_read:
+            ds = ds.materialize()
+        n_rows = ds.count()
     kb = _adaptive_key_bits(n_rows, n_bits, max(32, max_bucket // 4))
     key_mask = (1 << kb) - 1
     powers = 1 << np.arange(_LSH_SIGN_BITS, dtype=np.uint64)
@@ -160,6 +183,7 @@ def embedding_near_dup_pairs(
     def bucket_candidates(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_col], dtype=np.int64)
         fk = np.asarray(group["fullkey"], dtype=np.int64)
+        table_idx = int(group["table"][0].as_py()) if group.num_rows else 0
         a_out: list[np.ndarray] = []
         b_out: list[np.ndarray] = []
         stack = [(np.arange(len(ids)), kb)]
@@ -182,8 +206,17 @@ def embedding_near_dup_pairs(
                     _LSH_SIGN_BITS,
                     u.size - 1,
                 )
-                a_out.append(np.full(u.size - 1, u[0], np.int64))
-                b_out.append(u[1:])
+                # center rotates with the table index: identical-sign
+                # clusters land in the same bucket of EVERY table, so a
+                # fixed min-id center that happens to be a below-threshold
+                # outlier would lose the cluster in all tables at once
+                center = int(table_idx) % u.size
+                others = np.delete(u, center)
+                cvec = np.full(u.size - 1, u[center], np.int64)
+                # canonical id_a < id_b so cross-table dedup in the
+                # verify's group_by(id_a, id_b) still collapses orders
+                a_out.append(np.minimum(cvec, others))
+                b_out.append(np.maximum(cvec, others))
             else:
                 iu, ju = np.triu_indices(u.size, k=1)
                 a_out.append(u[iu])

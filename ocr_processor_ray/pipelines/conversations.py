@@ -228,6 +228,7 @@ def near_dedup_conversations(
     cfg: ExtractConfig | None = None,
     threshold: float = 0.7,
     n_bands: int | None = None,
+    max_bucket_members: int | None = None,
 ) -> Dataset:
     """Conversation-level near-dedup — the unit a trainer actually dedups
     is the ASSEMBLED conversation document, not the raw turn. Composes
@@ -260,7 +261,7 @@ def near_dedup_conversations(
     ids_docs = docs.map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    from ocr_processor_ray.functions.dedup import N_BANDS
+    from ocr_processor_ray.functions.dedup import MAX_BUCKET_MEMBERS, N_BANDS
 
     kept = near_dedup_filter(
         ids_docs,
@@ -268,6 +269,9 @@ def near_dedup_conversations(
         text_col="doc",
         threshold=threshold,
         n_bands=N_BANDS if n_bands is None else n_bands,
+        max_bucket_members=(
+            MAX_BUCKET_MEMBERS if max_bucket_members is None else max_bucket_members
+        ),
     )
 
     def finish(b: pa.Table) -> pa.Table:

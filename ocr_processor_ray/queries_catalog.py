@@ -205,9 +205,15 @@ def q_minhash_pairs(sf_dir: str):
     probability at the corpus's j≥0.8 pairs below 1e-14 (and ≤1e-4
     even at the τ boundary itself), and `emit="counts"` reproduces the
     SQL's all-integer (inter, un) comparison. Set equality vs the
-    exact formulation is asserted in tests/test_lsh_recall.py."""
+    exact formulation is asserted in tests/test_lsh_recall.py.
+    ``max_bucket_members`` is raised from the scale default (50) so a
+    duplicate group bigger than the cap can't silently drop pairs the
+    exact SQL keeps — affordable here because the oracle corpora are
+    bounded; at 100 TB keep the default and accept the logged cap."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5, n_bands=32, emit="counts")
+    return minhash_lsh_pairs(
+        ds, threshold=0.5, n_bands=32, emit="counts", max_bucket_members=2000
+    )
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -227,7 +233,11 @@ def q_corpus_near_dedup(sf_dir: str):
     from ocr_processor_ray.functions.dedup import near_dedup_filter
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    kept = near_dedup_filter(ds, threshold=0.5, n_bands=32)
+    # max_bucket_members raised like q_minhash_pairs: per-bucket
+    # truncation is the other (non-banding) divergence source vs the SQL
+    kept = near_dedup_filter(
+        ds, threshold=0.5, n_bands=32, max_bucket_members=2000
+    )
     return kept.map_batches(
         lambda b: pa.table(
             {
@@ -2892,7 +2902,9 @@ def q_conversations_near_dedup(sf_dir: str):
     from ocr_processor_ray.pipelines.conversations import near_dedup_conversations
 
     return near_dedup_conversations(
-        _ensure_corpus(_oracle_corpus_dir(), 42, 150), n_bands=32
+        _ensure_corpus(_oracle_corpus_dir(), 42, 150),
+        n_bands=32,
+        max_bucket_members=2000,
     )
 
 
@@ -2953,9 +2965,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     Equality vs `docs_exact_jaccard_pairs` is asserted on both test
     corpora in tests/test_lsh_recall.py; residual divergence risk is
     the banding bound at the exact τ boundary (measured: none here —
-    the corpora's true pair spectrum bottoms out at j=0.8)."""
+    the corpora's true pair spectrum bottoms out at j=0.8). Like
+    q_minhash_pairs, ``max_bucket_members`` is raised so per-bucket
+    truncation (the OTHER divergence source vs exact SQL) cannot fire
+    on an oracle corpus."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.35, n_bands=16, emit="counts")
+    return minhash_lsh_pairs(
+        ds, threshold=0.35, n_bands=16, emit="counts", max_bucket_members=2000
+    )
 
 
 def q_media_header_dims(sf_dir: str):

@@ -103,6 +103,17 @@ def compact_output(
                 "finish with the original count or use a fresh dst_dir"
             )
     else:
+        if completed_partitions(dst_dir):
+            # completed partitions but no marker: written by a pre-marker
+            # build (or another writer) under an UNKNOWN count — adopting
+            # the requested count would permit the exact drop/duplicate
+            # corruption this guard exists for
+            raise ValueError(
+                f"{dst_dir!r} has completed partitions but no "
+                "_num_partitions.json marker; its original partition "
+                "count is unknown, so resuming cannot be proven safe — "
+                "use a fresh dst_dir"
+            )
         with open(count_marker, "w") as f:
             json.dump({"num_partitions": num_output_partitions}, f)
 

@@ -490,3 +490,11 @@ class TestCompaction:
         # drop/duplicate rows — must refuse loudly
         with _pytest.raises(ValueError, match="num_output_partitions=4"):
             compact_output(src, dst, 8)
+        # completed partitions but NO count marker (pre-marker build /
+        # foreign writer): the original count is unknowable, so resume
+        # must refuse rather than silently adopt the requested count
+        import os as _os
+
+        _os.remove(_os.path.join(dst, "_num_partitions.json"))
+        with _pytest.raises(ValueError, match="no .*marker|marker"):
+            compact_output(src, dst, 4)

@@ -226,3 +226,32 @@ class TestIncrementalDedup:
 
         # survivors keep the original columns, not the internal hash
         assert sorted(s2.columns) == ["doc_id", "text"]
+
+
+class TestPairVerifyMissingId:
+    def test_broadcast_verify_raises_on_id_missing_from_docs(self, ray_session):
+        """A candidate id absent from docs must fail LOUDLY (KeyError via
+        the sorted-lookup found-check), never attach a neighboring row's
+        payload and verify against unrelated content."""
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.dedup import bucketed_pair_verify
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": [1, 2, 4], "text": ["aa bb", "aa bb", "zz"]})
+        )
+        # id 3 is not in docs; searchsorted alone would attach doc 4's text
+        pairs = rd.from_arrow(
+            pa.table({"id_a": [1, 1], "id_b": [2, 3]})
+        )
+
+        def finalize(t: pa.Table) -> pa.Table:
+            return t.select(["id_a", "id_b"])
+
+        out = bucketed_pair_verify(
+            pairs, docs, "doc_id", "text", pa.string(), 4, finalize
+        )
+        with pytest.raises(Exception, match="not present in docs"):
+            out.take_all()
