@@ -11,10 +11,18 @@ Skew handling (SURVEY.md §4.2): a conversation longer than
 the group key is salted — ``conv_id#(turn_idx // threshold)`` — which
 splits a long conversation into bounded, contiguous turn ranges. Since
 per-turn extraction is row-local, splitting is semantics-preserving;
-each split assembles its contiguous range, and a second, *tiny* groupby
-over the per-split rows (≤ a few rows per conversation) merges splits in
-salt order. Two shuffles, but the second one moves only one short row
-per split, not turn data.
+each split assembles its contiguous range, and a merge stage joins the
+splits of each conversation in salt order.
+
+The merge stage is candidate-restricted: a conversation needs merging
+only if it has a salt>0 split, and those conversations' ids are
+detected from the (materialized) split rows and broadcast via
+``ray.put``. Single-split conversations — the overwhelming majority
+under any sane threshold — bypass the merge as a plain filter map, so
+the second exchange moves only the multi-split conversations' text
+instead of re-shipping the whole corpus. When the multi-split id set
+exceeds the broadcast gate (pathologically long-conversation corpora),
+the pipeline falls back to the full bucketed merge shuffle.
 
 Runs on the *extracted* dataset (clean_text, not raw payloads) so the
 shuffle moves the smaller, post-extraction bytes.
@@ -67,44 +75,149 @@ def _add_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
     return batch.append_column("_bucket", pa.array(out, pa.int32()))
 
 
-def _assemble_bucket(group: pa.Table) -> pa.Table:
-    """All salted splits of one bucket → one summary row per split."""
-    group = group.sort_by([("salt_key", "ascending"), ("turn_idx", "ascending")])
-    keys = group["salt_key"].to_pylist()
-    convs = group["conv_id"].to_pylist()
-    roles = group["role"].to_pylist()
-    cleans = group["clean_text"].to_pylist()
-    statuses = group["status"].to_pylist()
+_RUNS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("salt_key", pa.string()),
+        ("start_idx", pa.int64()),
+        ("n_turns", pa.int64()),
+        ("n_failed", pa.int64()),
+        ("n_skipped", pa.int64()),
+        ("doc_part", pa.string()),
+    ]
+)
 
-    o_conv, o_key, o_turns, o_failed, o_skipped, o_doc = [], [], [], [], [], []
-    i, n = 0, len(keys)
-    while i < n:
-        j = i
-        parts: list[str] = []
-        failed = skipped = 0
-        while j < n and keys[j] == keys[i]:
-            if statuses[j] == STATUS_FAILED:
-                failed += 1
-            else:
-                parts.append(_format_turn(roles[j], cleans[j]))
-            if statuses[j] == STATUS_SKIPPED:
-                skipped += 1
-            j += 1
-        o_conv.append(convs[i])
-        o_key.append(keys[i])
-        o_turns.append(j - i)
-        o_failed.append(failed)
-        o_skipped.append(skipped)
-        o_doc.append(TURN_SEP.join(parts))
-        i = j
+_SPLITS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("salt_key", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_failed", pa.int64()),
+        ("n_skipped", pa.int64()),
+        ("doc", pa.string()),
+    ]
+)
+
+
+def _group_boundaries(keys: pa.Array, extra_break=None):
+    """``new_group[i]`` is True where row i starts a new key group in an
+    already-sorted column (optionally also breaking where ``extra_break``
+    is True). Returns (new_group, group_id, starts, n_groups)."""
+    import numpy as np
+
+    n = len(keys)
+    if n > 1:
+        same = pc.equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        if extra_break is not None:
+            same = same & ~extra_break
+        new_group = np.concatenate(([True], ~same))
+    else:
+        new_group = np.ones(n, dtype=bool)
+    group_id = np.cumsum(new_group) - 1
+    starts = np.flatnonzero(new_group)
+    return new_group, group_id, starts, len(starts)
+
+
+def _join_runs(parts, keep, group_id: "np.ndarray", n_groups: int) -> pa.Array:
+    """Vectorized grouped string join: concatenate the kept ``parts`` of
+    each group (rows already in group order) with ``TURN_SEP`` via a
+    list-array + ``pc.binary_join`` — no per-row Python."""
+    import numpy as np
+
+    kept_counts = np.bincount(group_id[keep], minlength=n_groups)
+    offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+    values = parts.filter(pa.array(keep))
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), values), TURN_SEP
+    )
+
+
+def _combine_runs(batch: pa.Table, threshold: int) -> pa.Table:
+    """Block-local combiner (the 'pre-aggregate before the shuffle'
+    rule, SURVEY.md §4.2): formats and joins each CONTIGUOUS turn range
+    of a conversation found inside this batch into one run row, so the
+    exchange moves one row per run instead of one per turn — same text
+    bytes, ~40× fewer rows on sequentially-written corpora; worst case
+    (fully scattered turns) degenerates to one run per turn, i.e. the
+    pre-combiner layout. Runs break on any non-+1 ``turn_idx`` step, so
+    the reducer can concatenate runs sorted by ``start_idx`` knowing
+    ranges never interleave. (Duplicate turn indices are malformed
+    input; their relative order is unspecified, before and after this
+    rework.)"""
+    import numpy as np
+
+    t = add_salt_key(batch, threshold)
+    n = t.num_rows
+    if n == 0:
+        return _RUNS_SCHEMA.empty_table()
+    t = t.sort_by(
+        [("salt_key", "ascending"), ("turn_idx", "ascending")]
+    ).combine_chunks()
+    keys = t.column("salt_key").chunk(0)
+    idx = t.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    non_contig = np.zeros(max(n - 1, 0), dtype=bool)
+    if n > 1:
+        non_contig = idx[1:] != idx[:-1] + 1
+    _, run_id, starts, n_runs = _group_boundaries(keys, extra_break=non_contig)
+
+    status = t.column("status")
+    failed = pc.equal(status, STATUS_FAILED).to_numpy(zero_copy_only=False)
+    skipped = pc.equal(status, STATUS_SKIPPED).to_numpy(zero_copy_only=False)
+    fmt = pc.binary_join_element_wise(
+        pa.scalar("["), t.column("role"), pa.scalar("] "), t.column("clean_text"), ""
+    )
+    starts_idx = pa.array(starts)
+    lengths = np.diff(np.append(starts, n))
     return pa.table(
         {
-            "conv_id": pa.array(o_conv, pa.string()),
-            "salt_key": pa.array(o_key, pa.string()),
-            "n_turns": pa.array(o_turns, pa.int64()),
-            "n_failed": pa.array(o_failed, pa.int64()),
-            "n_skipped": pa.array(o_skipped, pa.int64()),
-            "doc": pa.array(o_doc, pa.string()),
+            "conv_id": pc.take(t.column("conv_id"), starts_idx),
+            "salt_key": pc.take(keys, starts_idx),
+            "start_idx": pa.array(idx[starts], pa.int64()),
+            "n_turns": pa.array(lengths.astype(np.int64)),
+            "n_failed": pa.array(
+                np.bincount(run_id, weights=failed, minlength=n_runs).astype(np.int64)
+            ),
+            "n_skipped": pa.array(
+                np.bincount(run_id, weights=skipped, minlength=n_runs).astype(np.int64)
+            ),
+            "doc_part": _join_runs(fmt, ~failed, run_id, n_runs),
+        }
+    )
+
+
+def _assemble_bucket(group: pa.Table) -> pa.Table:
+    """All runs of one bucket → one summary row per salted split, runs
+    concatenated in ``start_idx`` order (vectorized list-join)."""
+    import numpy as np
+
+    n = group.num_rows
+    if n == 0:
+        return _SPLITS_SCHEMA.empty_table()
+    g = group.sort_by(
+        [("salt_key", "ascending"), ("start_idx", "ascending")]
+    ).combine_chunks()
+    keys = g.column("salt_key").chunk(0)
+    _, grp_id, starts, n_grp = _group_boundaries(keys)
+
+    def sums(col: str) -> pa.Array:
+        w = g.column(col).to_numpy(zero_copy_only=False)
+        return pa.array(np.bincount(grp_id, weights=w, minlength=n_grp).astype(np.int64))
+
+    parts = g.column("doc_part")
+    keep = pc.not_equal(parts, "").to_numpy(zero_copy_only=False)
+    starts_idx = pa.array(starts)
+    return pa.table(
+        {
+            "conv_id": pc.take(g.column("conv_id"), starts_idx),
+            "salt_key": pc.take(keys, starts_idx),
+            "n_turns": sums("n_turns"),
+            "n_failed": sums("n_failed"),
+            "n_skipped": sums("n_skipped"),
+            "doc": _join_runs(parts, keep, grp_id, n_grp),
         }
     )
 
@@ -149,18 +262,49 @@ def _merge_bucket(group: pa.Table) -> pa.Table:
     )
 
 
+# driver-side gate on the multi-split conversation id broadcast: past
+# this many ids the detection result is discarded and the merge falls
+# back to the full bucketed shuffle (ids would no longer be "small").
+_MULTI_SPLIT_ID_GATE = 200_000
+
+_SPLIT_COLS = ["conv_id", "n_turns", "n_failed", "n_skipped", "doc"]
+
+
+def _multi_split_conv_ids(splits: Dataset) -> set | None:
+    """Conversation ids that need the merge stage: any conversation with
+    a salt>0 split (⇔ >1 split, or a sparse conversation whose first
+    ``turn_idx`` already lands past the threshold). Salt-0 keys end in
+    ``#000000`` by construction (zero-padded width 6), so the suffix test
+    is exact even when ``conv_id`` itself contains ``#``. Returns None
+    when the id set exceeds the broadcast gate."""
+
+    def project(t: pa.Table) -> pa.Table:
+        salted = pc.invert(pc.ends_with(t["salt_key"], pattern="#000000"))
+        return pa.table({"conv_id": pc.unique(t.filter(salted)["conv_id"])})
+
+    ids_ds = splits.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    # per-batch-unique rows only; bounded before the driver pull
+    if ids_ds.count() > _MULTI_SPLIT_ID_GATE:
+        return None
+    return {r["conv_id"] for r in ids_ds.take_all()}
+
+
 def assemble_conversations(extracted: Dataset, cfg: ExtractConfig | None = None) -> Dataset:
     """Extracted turns → one document row per conversation.
 
     Output schema: ``conv_id, n_turns, n_failed, n_skipped, doc, doc_chars``.
     """
+    import ray
+
     cfg = cfg or ExtractConfig()
     num_buckets = max(16, cfg.num_output_partitions)
     ds = extracted.map_batches(
         # project to the columns assembly consumes BEFORE the shuffle —
-        # spans/status_detail/byte counters are dead weight in the exchange
+        # spans/status_detail/byte counters are dead weight in the
+        # exchange — then pre-join contiguous turn runs (combiner) so the
+        # exchange ships one row per run, not one per turn
         lambda t: _add_bucket(
-            add_salt_key(
+            _combine_runs(
                 t.select(["conv_id", "turn_idx", "role", "clean_text", "status"]),
                 cfg.salt_turn_threshold,
             ),
@@ -171,12 +315,56 @@ def assemble_conversations(extracted: Dataset, cfg: ExtractConfig | None = None)
         zero_copy_batch=True,
     )
     splits = ds.groupby("_bucket").map_groups(_assemble_bucket, batch_format="pyarrow")
-    splits = splits.map_batches(
-        lambda t: _add_bucket(t, "conv_id", num_buckets),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    convs = splits.groupby("_bucket").map_groups(_merge_bucket, batch_format="pyarrow")
+    # consumed up to three times below (id detection, bypass filter,
+    # merge filter) — pin once instead of re-running extract+exchange
+    splits = splits.materialize()
+
+    multi = _multi_split_conv_ids(splits)
+    if multi is not None and not multi:
+        # every conversation is single-split: the merge is pure identity
+        convs = splits.map_batches(
+            lambda t: t.select(_SPLIT_COLS),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    elif multi is not None:
+        ids_ref = ray.put(pa.array(sorted(multi), pa.string()))
+
+        def _split_filter(keep_multi: bool, project: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                ids = ray.get(ids_ref)  # local zero-copy read after first fetch
+                mask = pc.is_in(t["conv_id"], value_set=ids)
+                if not keep_multi:
+                    mask = pc.invert(mask)
+                out = t.filter(mask)
+                return out.select(_SPLIT_COLS) if project else out
+
+            return fn
+
+        single = splits.map_batches(
+            _split_filter(False, True), batch_format="pyarrow", zero_copy_batch=True
+        )
+        to_merge = splits.map_batches(
+            _split_filter(True, False), batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            lambda t: _add_bucket(t, "conv_id", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        merged = to_merge.groupby("_bucket").map_groups(
+            _merge_bucket, batch_format="pyarrow"
+        )
+        convs = single.union(merged)
+    else:
+        # unbounded multi-split population: full bucketed merge shuffle
+        splits = splits.map_batches(
+            lambda t: _add_bucket(t, "conv_id", num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        convs = splits.groupby("_bucket").map_groups(
+            _merge_bucket, batch_format="pyarrow"
+        )
     return convs.map_batches(
         lambda t: t.append_column(
             "doc_chars", pc.cast(pc.utf8_length(t["doc"]), pa.int64())

@@ -62,6 +62,46 @@ class TestAssembly:
         for col in a.column_names:
             assert a[col].to_pylist() == b[col].to_pylist(), col
 
+    def test_scattered_turns_match_oracle(self, transcripts_table, tmp_path):
+        """Globally shuffle the turn rows across files so conversations
+        are non-contiguous within every block — the run combiner must
+        degrade to fine-grained runs and still reproduce the oracle."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(7)
+        perm = rng.permutation(transcripts_table.num_rows)
+        shuffled = transcripts_table.take(pa.array(perm))
+        d = tmp_path / "scattered"
+        d.mkdir()
+        step = max(1, shuffled.num_rows // 7)
+        for i, lo in enumerate(range(0, shuffled.num_rows, step)):
+            pq.write_table(
+                shuffled.slice(lo, step), str(d / f"part{i:02d}.parquet")
+            )
+
+        got = self._run(str(d), threshold=64)
+        want = oracle_assemble(oracle_extract_table(transcripts_table)).sort_by(
+            [("conv_id", "ascending")]
+        )
+        assert got.num_rows == want.num_rows
+        for col in want.column_names:
+            assert got[col].to_pylist() == want[col].to_pylist(), col
+
+    def test_merge_fallback_matches_broadcast_path(
+        self, transcripts_small, monkeypatch
+    ):
+        """Gate=0 forces the full bucketed merge shuffle (the unbounded
+        multi-split fallback); output must equal the candidate-restricted
+        broadcast path's."""
+        from ocr_processor_ray.pipelines import conversations as conv_mod
+
+        a = self._run(transcripts_small, threshold=64)  # broadcast path
+        monkeypatch.setattr(conv_mod, "_MULTI_SPLIT_ID_GATE", 0)
+        b = self._run(transcripts_small, threshold=64)  # fallback path
+        for col in a.column_names:
+            assert a[col].to_pylist() == b[col].to_pylist(), col
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestConversationNearDedup:
