@@ -280,35 +280,32 @@ def batch_minhash_signatures(texts: list, k: int = 3) -> np.ndarray:
     return _segmented_perm_min(sh, offsets)
 
 
-_PERM_CHUNK_SHINGLES = 1 << 18  # caps the (N_PERM, chunk) work buffer ≈ 128 MB
-
-
 def _segmented_perm_min(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """(n_docs, N_PERM) per-doc minima of the permuted shingle hashes.
 
-    Chunked on document boundaries so the (N_PERM, chunk) buffer stays
-    ~128 MB regardless of batch size or document length (a worker
-    processing 50 book-length docs would otherwise allocate GBs), and
-    the buffer is reused across chunks. Bit-identical to the per-doc
-    ``minhash_signature`` path (same wrapping uint64 multiply+add)."""
+    One permutation at a time over the WHOLE shingle array: a 1-D
+    scalar×array uint64 multiply + scalar add + contiguous
+    ``minimum.reduceat`` per permutation. The earlier 2-D broadcast
+    formulation (``_PERM_A[:, None] * seg[None, :]``) routed numpy's
+    uint64 multiply through a stride-0 inner loop with no SIMD path —
+    measured ~100-400× slower on this build (10 s per 262k-shingle
+    chunk vs 0.11 s for all 64 perms over 1.1M shingles). The work
+    buffer is a single shingle-sized uint64 row (8 B per shingle, the
+    same footprint as the input), so no chunking is needed at any
+    batch size or document length. Bit-identical to the per-doc
+    ``minhash_signature`` path (same wrapping uint64 multiply+add;
+    multiply is commutative under mod-2^64 wraparound)."""
     n_docs = len(offsets)
     out = np.empty((n_docs, N_PERM), dtype=np.uint64)
-    ends = np.append(offsets[1:], len(sh)).astype(np.int64)
-    buf: np.ndarray | None = None
-    d = 0
-    while d < n_docs:
-        e = d + 1  # a doc longer than the chunk still goes alone
-        while e < n_docs and ends[e] - offsets[d] <= _PERM_CHUNK_SHINGLES:
-            e += 1
-        lo, hi = int(offsets[d]), int(ends[e - 1])
-        seg = sh[lo:hi]
-        if buf is None or buf.shape[1] < len(seg):
-            buf = np.empty((N_PERM, len(seg)), dtype=np.uint64)
-        view = buf[:, : len(seg)]
-        np.multiply(_PERM_A[:, None], seg[None, :], out=view)
-        view += _PERM_B[:, None]
-        out[d:e] = np.minimum.reduceat(view, offsets[d:e] - lo, axis=1).T
-        d = e
+    if len(sh) == 0:
+        out[:] = 0  # callers guarantee ≥1 shingle/doc; n_docs==0 in practice
+        return out
+    offs = np.asarray(offsets, dtype=np.intp)
+    buf = np.empty(len(sh), dtype=np.uint64)
+    for i in range(N_PERM):
+        np.multiply(sh, _PERM_A[i], out=buf)
+        buf += _PERM_B[i]
+        out[:, i] = np.minimum.reduceat(buf, offs)
     return out
 
 
@@ -317,9 +314,9 @@ def minhash_signature(text: str, k: int = 3) -> np.ndarray:
     sh = shingle_hashes(text, k)
     if sh.size == 0:
         return np.zeros(N_PERM, dtype=np.uint64)
-    # (n_perm, n_shingles) multiply-shift hashes, min over shingles
-    vals = _PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]
-    return vals.min(axis=1).astype(np.uint64)
+    # one-doc segment through the shared per-perm 1-D kernel (the 2-D
+    # broadcast form it replaced hits numpy's non-SIMD uint64 path)
+    return _segmented_perm_min(sh, np.zeros(1, dtype=np.intp))[0]
 
 
 DEFAULT_CANDIDATE_BUCKETS = 256  # shuffle fan-out for candidate generation
@@ -1056,11 +1053,16 @@ def batch_simhash64(texts: list[str]) -> np.ndarray:
     # the (occ, 64) layout's axis-0 reduceat measured 4× slower, and a
     # dtype-upcasting reduceat 50× slower.
     bitpos = np.arange(64, dtype=np.uint64)
-    signs_t = np.where(
-        ((hashes[None, :] >> bitpos[:, None]) & np.uint64(1)).astype(bool),
-        np.int32(1),
-        np.int32(-1),
-    )
+    # per-bit 1-D shift+mask rows: the broadcast form
+    # ``hashes[None, :] >> bitpos[:, None]`` routes numpy's uint64
+    # shift through a stride-0 non-SIMD loop (measured 58-86× slower
+    # at 50k-500k unique tokens on this build)
+    signs_t = np.empty((64, len(hashes)), dtype=np.int32)
+    sbuf = np.empty(len(hashes), dtype=np.uint64)
+    for _bit in range(64):
+        np.right_shift(hashes, bitpos[_bit], out=sbuf)
+        np.bitwise_and(sbuf, np.uint64(1), out=sbuf)
+        np.subtract(sbuf.astype(np.int32) * 2, 1, out=signs_t[_bit])
 
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
@@ -1101,9 +1103,12 @@ def batch_simhash64(texts: list[str]) -> np.ndarray:
         sums[seg_lens == 0] = 0
         acc[start_doc:end_doc] = sums
         start_doc = end_doc
-    u = ((acc > 0).astype(np.uint64) << bitpos[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    # pack sign bits per column (1-D shift per bit; same stride-0
+    # broadcast-shift avoidance as the sign matrix above)
+    u = np.zeros(n, dtype=np.uint64)
+    pos = acc > 0
+    for _bit in range(64):
+        u |= pos[:, _bit].astype(np.uint64) << bitpos[_bit]
     # u - 2^63 without overflow: flip the top bit, reinterpret as int64
     out = (u ^ np.uint64(1 << 63)).view(np.int64)
     if total != len(codes):  # loud even under python -O, like reassemble
