@@ -337,6 +337,45 @@ class TestJoins:
                100: 100, 101: 100, 102: 100, 3: 3, 7: 3}
         assert got == exp
 
+    def test_connected_components_local_equals_distributed(self):
+        # the size gate routes small edge sets to the driver-local
+        # union-find; force the distributed loop on the same random
+        # graph and require identical (node, component) labelings
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_processor_ray.functions import graph
+
+        rng = np.random.RandomState(7)
+        n_nodes, n_edges = 200, 150
+        ids = rng.choice(10_000, size=n_nodes, replace=False).astype(np.int64)
+        a = ids[rng.randint(0, n_nodes, n_edges)]
+        b = ids[rng.randint(0, n_nodes, n_edges)]
+        t = pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+        local = (
+            graph.connected_components(rd.from_arrow(t).repartition(4))
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        orig = graph._LOCAL_CC_EDGE_LIMIT
+        graph._LOCAL_CC_EDGE_LIMIT = -1
+        try:
+            dist = (
+                graph.connected_components(rd.from_arrow(t).repartition(4))
+                .to_pandas()
+                .sort_values("node", ignore_index=True)
+            )
+        finally:
+            graph._LOCAL_CC_EDGE_LIMIT = orig
+        pd.testing.assert_frame_equal(local, dist, check_dtype=True)
+        # every component label is the minimum node id of its cluster
+        assert (
+            local.groupby("component")["node"].min()
+            == local.groupby("component")["node"].min().index
+        ).all()
+
     def test_bucketed_left_join_keeps_unmatched_rows(self):
         import ray.data as rd
 
