@@ -1260,7 +1260,9 @@ def near_dedup_filter(
         # Skips the CC rounds AND the anti-join exchange (each a
         # multi-stage Ray execution) — on a 600-doc pair-free corpus
         # this was ~2.7 s of pure stage overhead for a no-op filter.
-        return ds
+        # Projection matches the anti-join branch's output schema
+        # (l_schema column set and order) for wider inputs.
+        return ds.select_columns([id_col, text_col])
     cc = connected_components(pairs)
     losers = cc.map_batches(
         lambda b: pa.table(
