@@ -1950,10 +1950,12 @@ def q_user_retention_cohorts(sf_dir: str):
     (cohort), counted in every week they return — the growth-analytics
     staple. Shape: distinct (user, week) pairs via one two-phase hash
     agg (weeks/user is small, so this collapses early), per-user cohort
-    = min(week) via a second tiny agg, a bucketed join on user_id glues
-    them (both sides are per-user aggregates, never raw events), and the
-    final (cohort_week, week) count is again hash-agg'd. No raw event
-    row crosses more than the first exchange."""
+    = min(week) aggregated FROM the collapsed pairs (not a second scan
+    of raw events — same min, events only leave the read once), a
+    bucketed join on user_id glues them (both sides are per-user
+    aggregates, never raw events), and the final (cohort_week, week)
+    count is again hash-agg'd. No raw event row crosses more than the
+    first exchange."""
     from ocr_processor_ray.functions.relational import bucketed_join
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
@@ -1966,8 +1968,8 @@ def q_user_retention_cohorts(sf_dir: str):
     uw = two_phase_agg(wk, ["user_id", "week"], [("week", "count", "_n")])
     uw = uw.map_batches(
         lambda b: b.drop_columns(["_n"]), batch_format="pyarrow", zero_copy_batch=True
-    )
-    cohort = two_phase_agg(wk, ["user_id"], [("week", "min", "cohort_week")])
+    ).materialize()  # consumed twice below; distinct pairs ≪ events
+    cohort = two_phase_agg(uw, ["user_id"], [("week", "min", "cohort_week")])
     joined = bucketed_join(uw, cohort, on="user_id", num_buckets=32)
     return two_phase_agg(
         joined, ["cohort_week", "week"], [("week", "count", "n_users")]
