@@ -1443,3 +1443,216 @@ def dedup_lines(
         )
 
     return bucketed_map_groups(union, id_col, reassemble)
+
+
+# ------------------------------------------------- substring-level dedup
+
+# odd 64-bit multipliers for the two rolling-polynomial lanes (splitmix /
+# xxhash constants); odd → invertible mod 2^64, so no entropy collapses
+_SUBSTR_B1 = np.uint64(0x9E3779B97F4A7C15)
+_SUBSTR_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _rolling_window_hash(
+    h: np.ndarray, window: int, mult: np.uint64
+) -> np.ndarray:
+    """Degree-(window-1) polynomial hash of every length-``window`` run of
+    ``h`` (flat uint64 token hashes): ``out[s] = Σ_j h[s+j]·mult^(W-1-j)``
+    under wrapping uint64 arithmetic. One 1-D multiply + add pass per
+    window position (the per-lane formulation the minhash/simhash kernels
+    use — no 2-D broadcast buffer, no stride-0 uint64 loop); the work
+    buffer is the output row itself. Starts that straddle document
+    boundaries are computed too (cheaper than masking inside the kernel)
+    and discarded by the caller's per-doc valid-start selection."""
+    n = len(h)
+    L = n - window + 1
+    if L <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.zeros(L, dtype=np.uint64)
+    for j in range(window):
+        out *= mult
+        out += h[j : j + L]
+    return out
+
+
+def dedup_substrings(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    sep: str = " ",
+) -> Dataset:
+    """Corpus-level duplicated-SUBSTRING removal (the ExactSubstr member
+    of the dedup family — Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — at word-window granularity): every
+    length-``window`` word run that occurs more than once in the whole
+    corpus keeps only its first occurrence — minimum (doc, word position)
+    corpus-wide — and every OTHER occurrence's covered words are dropped;
+    documents are reassembled from the surviving words. → (id_col, clean
+    text under ``text_col``, n_words, n_dropped).
+
+    Drop semantics (deterministic, SQL-expressible — see the
+    ``docs_substring_dedup`` oracle): word ``i`` of doc ``d`` is dropped
+    iff some window start ``p ≤ i < p+W`` in ``d`` has a corpus-wide
+    duplicate AND ``(d, p)`` is not its content's minimum occurrence.
+    Overlapping loser windows union; a doc's within-doc repeats drop all
+    but the earliest copy.
+
+    Scale shape (mirrors ``dedup_lines`` — text crosses the wire once):
+      1. explode — per-word 128-bit content hashes (two independent
+         siphash lanes, vectorized) → two rolling-polynomial window
+         lanes + packed id·2^20+pos; 24 B per WORD of corpus — linear,
+         the known cost of exact substring dedup (a suffix-array build
+         touches every token too).
+      2. two-phase min/count over the window hash → winner per distinct
+         window; hashes seen once (the vast majority) never shuffle
+         again.
+      3. bucketed inner join explode ⋈ dup-winners; lane-2 equality is
+         re-verified at the join (same 128-bit envelope as
+         ``dedup_lines``); packed ≠ winner → loser START set (id, pos).
+      4. one tagged-union bucketed shuffle co-locates each doc with its
+         loser starts; reassembly expands starts to a coverage mask
+         in-task (np.cumsum over a diff array — never W rows per loser)
+         and rejoins surviving words.
+
+    Window identity is the polynomial over PER-WORD siphash lanes, not a
+    hash of the joined gram text — but ``sep``-joined word runs are in
+    bijection with word-hash runs (words cannot contain ``sep``), so
+    modulo the documented 128-bit collision envelope the decision equals
+    the oracle's literal-gram-text grouping."""
+    from ocr_processor_ray.functions.agg import two_phase_agg
+    from ocr_processor_ray.functions.hashing import content_hash128
+    from ocr_processor_ray.functions.relational import bucketed_join, bucketed_map_groups
+
+    if window < 2:
+        raise ValueError(f"dedup_substrings: window must be >= 2, got {window}")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << (63 - _LINE_POS_BITS)):
+            raise ValueError(f"dedup_substrings: need 0 <= {id_col} < 2^43")
+        words_list = pc.split_pattern(b[text_col], pattern=sep)
+        if isinstance(words_list, pa.ChunkedArray):
+            words_list = words_list.combine_chunks()
+        counts = pc.list_value_length(words_list).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (counts >= 1 << _LINE_POS_BITS).any():
+            raise ValueError("dedup_substrings: document with >= 2^20 words")
+        flat = words_list.flatten().to_pylist()
+        wh1, wh2 = content_hash128(flat)
+        roll1 = _rolling_window_hash(wh1, window, _SUBSTR_B1)
+        roll2 = _rolling_window_hash(wh2, window, _SUBSTR_B2)
+        # valid starts: windows fully inside one document
+        nw = np.maximum(counts - window + 1, 0)
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        total = int(nw.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nw)[:-1]]), nw
+        )
+        starts = np.repeat(offsets, nw) + intra
+        packed = np.repeat(ids, nw) * (1 << _LINE_POS_BITS) + intra
+        return pa.table(
+            {
+                "gram_hash": pa.array(roll1[starts].astype(np.int64), pa.int64()),
+                "gram_hash2": pa.array(roll2[starts].astype(np.int64), pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    winners = two_phase_agg(
+        exploded,
+        ["gram_hash", "gram_hash2"],
+        [("packed", "min", "win"), ("packed", "count", "n")],
+    )
+    dup_winners = winners.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)).select(
+            ["gram_hash", "gram_hash2", "win"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    matched = bucketed_join(
+        exploded,
+        dup_winners,
+        on="gram_hash",
+        how="inner",
+        l_schema={
+            "gram_hash": pa.int64(),
+            "gram_hash2": pa.int64(),
+            "packed": pa.int64(),
+        },
+        r_schema={
+            "gram_hash": pa.int64(),
+            "gram_hash2": pa.int64(),
+            "win": pa.int64(),
+        },
+    )
+    drops = matched.map_batches(
+        lambda b: pa.table(
+            {
+                "packed": b.filter(
+                    pc.and_(
+                        pc.equal(b["gram_hash2"], b["gram_hash2_r"]),
+                        pc.not_equal(b["packed"], b["win"]),
+                    )
+                )["packed"]
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "_txt": b[text_col],
+                "_pos": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        )
+
+    def tag_drops(b: pa.Table) -> pa.Table:
+        packed = b["packed"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(packed >> _LINE_POS_BITS, pa.int64()),
+                "_txt": pa.nulls(b.num_rows, pa.string()),
+                "_pos": pa.array(packed & ((1 << _LINE_POS_BITS) - 1), pa.int64()),
+            }
+        )
+
+    union = ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(drops.map_batches(tag_drops, batch_format="pyarrow", zero_copy_batch=True))
+
+    def reassemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        doc_rows = g[g["_pos"] < 0]
+        if len(doc_rows) != 1:
+            raise ValueError(
+                f"dedup_substrings: expected exactly one doc row per id, "
+                f"got {len(doc_rows)} for id {g[id_col].iloc[0]!r} — doc "
+                "ids must be unique (run exact_dedup first)"
+            )
+        text = doc_rows["_txt"].iloc[0]
+        words = text.split(sep)
+        starts = g.loc[g["_pos"] >= 0, "_pos"].to_numpy(dtype=np.int64)
+        # coverage mask from loser starts without expanding W rows per
+        # loser: +1 at each start, -1 past its window end, prefix-sum > 0
+        diff = np.zeros(len(words) + 1, dtype=np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, np.minimum(starts + window, len(words)), -1)
+        mask = np.cumsum(diff[:-1]) > 0
+        kept = [w for w, m in zip(words, mask) if not m]
+        return pd.DataFrame(
+            {
+                id_col: doc_rows[id_col].iloc[:1].astype("int64"),
+                text_col: [sep.join(kept)],
+                "n_words": pd.array([len(words)], dtype="int64"),
+                "n_dropped": pd.array([int(mask.sum())], dtype="int64"),
+            }
+        )
+
+    return bucketed_map_groups(union, id_col, reassemble)

@@ -4688,3 +4688,77 @@ ORACLE_SQL["docs_incremental_dedup"] = """
       AND doc_id = (SELECT min(d2.doc_id) FROM documents d2
                     WHERE d2.doc_id % 2 = 1 AND md5(d2.text) = md5(d.text))
 """
+
+
+# ===================================================================
+# round 5 (late): corpus-level exact-substring dedup
+# ===================================================================
+
+_SUBSTR_DEDUP_W = 8  # word-window width; see dedup_substrings docstring
+
+
+def q_docs_substring_dedup(sf_dir: str):
+    """Corpus-level duplicated-substring removal (ExactSubstr at word-
+    window granularity, Lee et al. 2022): every 8-word run occurring
+    more than once corpus-wide keeps only its minimum (doc, position)
+    occurrence; all other occurrences' covered words are dropped and
+    documents reassembled from survivors. ORACLED: DuckDB explodes the
+    literal 8-word gram strings, groups by gram TEXT (no hashes cross
+    the compare — the engine's 128-bit rolling-lane identity is the
+    documented collision envelope), unions loser coverage and
+    re-aggregates the surviving words with the same single-space join —
+    clean text, word and drop counts all compared. At sf0.001 the
+    corpus genuinely exercises it (24 docs lose 1,435 words)."""
+    from ocr_processor_ray.functions.dedup import dedup_substrings
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_substrings(docs, window=_SUBSTR_DEDUP_W)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_clean": b["text"],
+                "n_words": b["n_words"],
+                "n_dropped": b["n_dropped"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+QUERIES["docs_substring_dedup"] = q_docs_substring_dedup
+
+
+ORACLE_SQL["docs_substring_dedup"] = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(w[i:i+{_SUBSTR_DEDUP_W}-1], ' ') AS gram
+        FROM words, unnest(generate_series(1, len(w) - {_SUBSTR_DEDUP_W} + 1)) AS t(i)
+        WHERE len(w) >= {_SUBSTR_DEDUP_W}
+    ), marked AS (
+        SELECT gram, min(doc_id * 1048576 + pos) AS win, count(*) AS n
+        FROM grams GROUP BY gram
+    ), losers AS (
+        SELECT g.doc_id, g.pos
+        FROM grams g JOIN marked m ON g.gram = m.gram
+        WHERE m.n > 1 AND g.doc_id * 1048576 + g.pos <> m.win
+    ), cover AS (
+        SELECT DISTINCT l.doc_id, l.pos + j.j AS wp
+        FROM losers l, unnest(generate_series(0, {_SUBSTR_DEDUP_W} - 1)) AS j(j)
+    ), wordrows AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS wp
+        FROM words
+    )
+    SELECT wr.doc_id,
+           coalesce(string_agg(CASE WHEN c.wp IS NULL THEN wr.word END,
+                               ' ' ORDER BY wr.wp), '') AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN c.wp IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM wordrows wr
+    LEFT JOIN cover c ON wr.doc_id = c.doc_id AND wr.wp = c.wp
+    GROUP BY wr.doc_id
+"""

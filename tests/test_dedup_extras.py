@@ -255,3 +255,127 @@ class TestPairVerifyMissingId:
         )
         with pytest.raises(Exception, match="not present in docs"):
             out.take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupSubstrings:
+    def test_planted_duplicate_span_first_occurrence_survives(self):
+        from ocr_processor_ray.functions.dedup import dedup_substrings
+
+        span = "one two three four"  # 4 words; window=4 → exactly one gram
+        docs = {
+            "doc_id": [10, 20, 30],
+            "text": [
+                f"alpha {span} beta",
+                f"head {span} tail words",
+                "no duplicated content here at all",
+            ],
+        }
+        out = (
+            dedup_substrings(rd.from_arrow(pa.table(docs)), window=4)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # doc 10 holds the minimum (doc, pos) occurrence — untouched
+        assert out.loc[10, "text"] == f"alpha {span} beta"
+        assert out.loc[10, "n_dropped"] == 0
+        # doc 20 loses exactly the 4 covered words
+        assert out.loc[20, "text"] == "head tail words"
+        assert out.loc[20, "n_dropped"] == 4
+        assert out.loc[30, "n_dropped"] == 0
+        assert int(out["n_words"].sum()) == 6 + 7 + 6
+
+    def test_overlapping_losers_union_coverage(self):
+        from ocr_processor_ray.functions.dedup import dedup_substrings
+
+        # doc 2 repeats doc 1's full text: every window duplicates, and
+        # the overlapping loser windows must union to the whole doc
+        text = "a b c d e f"
+        docs = {"doc_id": [1, 2], "text": [text, text]}
+        out = (
+            dedup_substrings(rd.from_arrow(pa.table(docs)), window=3)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "text"] == text
+        assert out.loc[2, "text"] == ""
+        assert out.loc[2, "n_dropped"] == 6
+
+    def test_short_docs_pass_through(self):
+        from ocr_processor_ray.functions.dedup import dedup_substrings
+
+        docs = {"doc_id": [1, 2], "text": ["tiny doc", "tiny doc"]}
+        out = (
+            dedup_substrings(rd.from_arrow(pa.table(docs)), window=8)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # both docs are shorter than the window → no grams, no drops
+        assert out.loc[1, "text"] == "tiny doc"
+        assert out.loc[2, "text"] == "tiny doc"
+        assert int(out["n_dropped"].sum()) == 0
+
+    def test_window_lt_2_rejected(self):
+        from ocr_processor_ray.functions.dedup import dedup_substrings
+
+        with pytest.raises(ValueError, match="window"):
+            dedup_substrings(
+                rd.from_arrow(pa.table({"doc_id": [1], "text": ["x y"]})),
+                window=1,
+            )
+
+    def test_random_corpora_match_brute_force(self):
+        """Property: dedup_substrings ≡ a driver-side walk (min (doc,pos)
+        occurrence of each duplicated window survives; losers' coverage
+        unions) on random corpora with heavy reuse, varying layouts."""
+        import random
+
+        import numpy as np
+
+        from ocr_processor_ray.functions.dedup import dedup_substrings
+
+        rng = random.Random(1231)
+        vocab = [f"w{i}" for i in range(6)]  # tiny vocab → many repeats
+        W = 3
+        for trial in range(4):
+            ids = list(range(1, 1 + rng.randint(3, 8)))
+            docs = {
+                d: " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(1, 12))
+                )
+                for d in ids
+            }
+            occ: dict[tuple, list] = {}
+            for d in sorted(docs):
+                ws = docs[d].split(" ")
+                for p in range(len(ws) - W + 1):
+                    occ.setdefault(tuple(ws[p : p + W]), []).append((d, p))
+            want = {}
+            for d in sorted(docs):
+                ws = docs[d].split(" ")
+                mask = np.zeros(len(ws), bool)
+                for p in range(len(ws) - W + 1):
+                    os_ = occ[tuple(ws[p : p + W])]
+                    if len(os_) > 1 and min(os_) != (d, p):
+                        mask[p : p + W] = True
+                want[d] = (
+                    " ".join(w for w, m in zip(ws, mask) if not m),
+                    int(mask.sum()),
+                )
+            t = pa.table(
+                {
+                    "doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[d] for d in sorted(docs)]),
+                }
+            )
+            out = (
+                dedup_substrings(
+                    rd.from_arrow(t).repartition(1 + trial), window=W
+                )
+                .to_pandas()
+                .set_index("doc_id")
+            )
+            for d in sorted(docs):
+                assert out.loc[d, "text"] == want[d][0], (trial, d, docs)
+                assert out.loc[d, "n_dropped"] == want[d][1], (trial, d, docs)
