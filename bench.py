@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "conversations_near_dedup_sf",
     "conversation_line_dedup_sf",
     "embedding_kmeans",
+    "docs_substring_dedup",
 ]
 
 

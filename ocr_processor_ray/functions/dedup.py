@@ -1452,6 +1452,11 @@ def dedup_lines(
 _SUBSTR_B1 = np.uint64(0x9E3779B97F4A7C15)
 _SUBSTR_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
+# input-size budget under which the exploded window rows (24 B/word) are
+# pinned instead of recomputed for the second consumer; cluster-scale
+# corpora stream-recompute rather than spill
+_SUBSTR_MATERIALIZE_BYTES = 1 << 30
+
 
 def _rolling_window_hash(
     h: np.ndarray, window: int, mult: np.uint64
@@ -1507,9 +1512,14 @@ def dedup_substrings(
       2. two-phase min/count over the window hash → winner per distinct
          window; hashes seen once (the vast majority) never shuffle
          again.
-      3. bucketed inner join explode ⋈ dup-winners; lane-2 equality is
-         re-verified at the join (same 128-bit envelope as
-         ``dedup_lines``); packed ≠ winner → loser START set (id, pos).
+      3. loser resolution: when the duplicated-window set fits the
+         broadcast budget (the common case — duplication is sparse) it
+         rides ``ray.put`` once and each exploded batch resolves losers
+         map-side (no second exchange for the window rows); past the
+         budget, a bucketed inner join explode ⋈ dup-winners takes over.
+         Lane-2 equality is re-verified either way (same 128-bit
+         envelope as ``dedup_lines``); packed ≠ winner → loser START
+         set (id, pos).
       4. one tagged-union bucketed shuffle co-locates each doc with its
          loser starts; reassembly expands starts to a coverage mask
          in-task (np.cumsum over a diff array — never W rows per loser)
@@ -1560,6 +1570,16 @@ def dedup_substrings(
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    # exploded is consumed twice (winner agg + loser scan). Within the
+    # materialization budget, pin it so the corpus isn't re-read and
+    # re-hashed for the second pass; past it (cluster-scale corpora),
+    # streaming recompute beats object-store spill pressure.
+    try:
+        in_bytes = ds.size_bytes()  # parquet-metadata estimate on reads
+    except Exception:
+        in_bytes = None
+    if in_bytes is not None and in_bytes <= _SUBSTR_MATERIALIZE_BYTES:
+        exploded = exploded.materialize()
     winners = two_phase_agg(
         exploded,
         ["gram_hash", "gram_hash2"],
@@ -1571,37 +1591,96 @@ def dedup_substrings(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    matched = bucketed_join(
-        exploded,
-        dup_winners,
-        on="gram_hash",
-        how="inner",
-        l_schema={
-            "gram_hash": pa.int64(),
-            "gram_hash2": pa.int64(),
-            "packed": pa.int64(),
-        },
-        r_schema={
-            "gram_hash": pa.int64(),
-            "gram_hash2": pa.int64(),
-            "win": pa.int64(),
-        },
-    )
-    drops = matched.map_batches(
-        lambda b: pa.table(
-            {
-                "packed": b.filter(
-                    pc.and_(
-                        pc.equal(b["gram_hash2"], b["gram_hash2_r"]),
-                        pc.not_equal(b["packed"], b["win"]),
-                    )
-                )["packed"]
+    ).materialize()  # bounded: one (2×hash, win) int64 row per DUPLICATED window
+
+    if dup_winners.size_bytes() <= _BROADCAST_PAYLOAD_BYTES:
+        # broadcast fast path (the _broadcast_pair_verify pattern): the
+        # dup set rides ray.put once and every exploded batch resolves its
+        # losers map-side — the 24 B/window exploded rows never shuffle a
+        # second time. Lane-2 verification matches the join path exactly:
+        # a lane-1 collision row whose lane 2 disagrees is not a loser.
+        dup_tabs = [
+            t for t in ray.get(dup_winners.to_arrow_refs()) if t.num_rows
+        ]
+        if dup_tabs:
+            dt = pa.concat_tables(dup_tabs)
+            dh1 = dt["gram_hash"].to_numpy(zero_copy_only=False)
+            order = np.argsort(dh1, kind="stable")
+            lut = {
+                "h1": dh1[order],
+                "h2": dt["gram_hash2"].to_numpy(zero_copy_only=False)[order],
+                "win": dt["win"].to_numpy(zero_copy_only=False)[order],
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        else:
+            z = np.empty(0, np.int64)
+            lut = {"h1": z, "h2": z, "win": z}
+        lut_ref = ray.put(lut)
+
+        def scan_losers(b: pa.Table) -> pa.Table:
+            lu = ray.get(lut_ref)  # local zero-copy read after first fetch
+            packed = b["packed"].to_numpy(zero_copy_only=False)
+            if len(lu["h1"]) == 0:
+                return pa.table({"packed": pa.array([], pa.int64())})
+            h1 = b["gram_hash"].to_numpy(zero_copy_only=False)
+            h2 = b["gram_hash2"].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(lu["h1"], h1, side="left")
+            hi = np.searchsorted(lu["h1"], h1, side="right")
+            run = hi - lo
+            safe = np.minimum(lo, max(len(lu["h1"]) - 1, 0))
+            loser = (
+                (run == 1)
+                & (lu["h2"][safe] == h2)
+                & (lu["win"][safe] != packed)
+            )
+            # lane-1 collision runs (>1 dup rows share h1) are
+            # astronomically rare — resolve the few by scan
+            for i in np.flatnonzero(run > 1):
+                for j in range(lo[i], hi[i]):
+                    if lu["h2"][j] == h2[i]:
+                        loser[i] = lu["win"][j] != packed[i]
+                        break
+            return pa.table({"packed": pa.array(packed[loser], pa.int64())})
+
+        drops = exploded.map_batches(
+            scan_losers, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        logger.warning(
+            "dedup_substrings: duplicated-window set is %d bytes > broadcast "
+            "budget %d; using the bucketed join exchange",
+            dup_winners.size_bytes(),
+            _BROADCAST_PAYLOAD_BYTES,
+        )
+        matched = bucketed_join(
+            exploded,
+            dup_winners,
+            on="gram_hash",
+            how="inner",
+            l_schema={
+                "gram_hash": pa.int64(),
+                "gram_hash2": pa.int64(),
+                "packed": pa.int64(),
+            },
+            r_schema={
+                "gram_hash": pa.int64(),
+                "gram_hash2": pa.int64(),
+                "win": pa.int64(),
+            },
+        )
+        drops = matched.map_batches(
+            lambda b: pa.table(
+                {
+                    "packed": b.filter(
+                        pc.and_(
+                            pc.equal(b["gram_hash2"], b["gram_hash2_r"]),
+                            pc.not_equal(b["packed"], b["win"]),
+                        )
+                    )["packed"]
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     def tag_docs(b: pa.Table) -> pa.Table:
         return pa.table(

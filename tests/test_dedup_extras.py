@@ -325,15 +325,22 @@ class TestDedupSubstrings:
                 window=1,
             )
 
-    def test_random_corpora_match_brute_force(self):
+    @pytest.mark.parametrize("force_join_fallback", [False, True])
+    def test_random_corpora_match_brute_force(self, force_join_fallback, monkeypatch):
         """Property: dedup_substrings ≡ a driver-side walk (min (doc,pos)
         occurrence of each duplicated window survives; losers' coverage
-        unions) on random corpora with heavy reuse, varying layouts."""
+        unions) on random corpora with heavy reuse, varying layouts —
+        on BOTH loser-resolution paths (broadcast scan and the
+        over-budget bucketed-join fallback)."""
         import random
 
         import numpy as np
 
+        from ocr_processor_ray.functions import dedup as dedup_mod
         from ocr_processor_ray.functions.dedup import dedup_substrings
+
+        if force_join_fallback:
+            monkeypatch.setattr(dedup_mod, "_BROADCAST_PAYLOAD_BYTES", -1)
 
         rng = random.Random(1231)
         vocab = [f"w{i}" for i in range(6)]  # tiny vocab → many repeats
