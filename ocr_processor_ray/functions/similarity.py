@@ -18,6 +18,7 @@ import logging
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 logger = logging.getLogger(__name__)
@@ -702,3 +703,96 @@ def distributed_pca(
         if comps[i, j] < 0:
             comps[i] = -comps[i]
     return comps, evals[order], mean
+
+
+def semantic_dedup(
+    ds: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.95,
+    kmeans_iters: int = 2,
+    max_cluster: int = 100_000,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    with k-means, then inside each cluster drop every vector whose
+    cosine similarity to a LOWER-id cluster member reaches
+    ``threshold`` — the greedy keep-first-representative rule, made
+    deterministic by ordering on the id. → kept rows (id_col, cluster).
+
+    Scale shape: centroids come from the existing integer-quantized
+    ``distributed_kmeans`` (bit-identical under any block layout;
+    O(k×dim) driver traffic per round); one extra corpus pass assigns
+    clusters and ships (id, cluster, vector) through ONE bucketed
+    exchange keyed by cluster; the quadratic membership check runs
+    in-task per cluster, chunked so the working set stays
+    ``≤ 1024 × m`` floats. The corpus-wide pair explosion SemDeDup
+    avoids by design never happens — but per-cluster cost is O(m²·dim),
+    so k must scale with the corpus (the paper's own contract: clusters
+    sized to fit a worker). Clusters beyond ``max_cluster`` members
+    raise loudly with that guidance rather than silently thrashing.
+
+    No SQL oracle is possible (k-means centroids are float matmul
+    iterations DuckDB cannot reproduce); determinism and the planted
+    near-duplicate contract are pytest-pinned (tests/test_semdedup.py).
+    """
+    import ray
+
+    from ocr_processor_ray.functions.relational import bucketed_map_groups
+
+    centroids, _ = distributed_kmeans(
+        ds, vec_col=vec_col, id_col=id_col, k=k, iters=kmeans_iters
+    )
+    cent_ref = ray.put(centroids.astype(np.float32))
+
+    def assign_with_vec(b: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(b, vec_col))
+        cluster = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "cluster": pa.array(cluster),
+                "_vec": pa.array(list(m.astype(np.float32))),
+            }
+        )
+
+    assigned = ds.map_batches(
+        assign_with_vec, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def prune(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        m_rows = len(g)
+        if m_rows > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster {int(g['cluster'].iloc[0])} has "
+                f"{m_rows} members > max_cluster={max_cluster}; raise k so "
+                "clusters fit a worker (SemDeDup's own scaling contract) "
+                "or raise max_cluster explicitly"
+            )
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order]
+        m = np.stack(g["_vec"].to_numpy()[order]).astype(np.float32)
+        dropped = np.zeros(m_rows, dtype=bool)
+        # chunked lower-triangle check: row i is dropped iff some j < i
+        # (kept or not — the paper prunes by raw epsilon-ball membership,
+        # and dropping against dropped-j keeps the rule order-free)
+        for s in range(1, m_rows, 1024):
+            e = min(s + 1024, m_rows)
+            sims = m[s:e] @ m[:e].T  # rows s..e vs ALL lower-or-equal rows
+            below = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dropped[s:e] = ((sims >= threshold) & below).any(axis=1)
+        keep = ~dropped
+        return pd.DataFrame(
+            {
+                id_col: pd.array(ids[keep], dtype="int64"),
+                "cluster": pd.array(
+                    g["cluster"].to_numpy()[order][keep], dtype="int64"
+                ),
+            }
+        )
+
+    return bucketed_map_groups(assigned, "cluster", prune, num_buckets=k)

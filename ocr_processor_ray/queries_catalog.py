@@ -4762,3 +4762,21 @@ ORACLE_SQL["docs_substring_dedup"] = f"""
     LEFT JOIN cover c ON wr.doc_id = c.doc_id AND wr.wp = c.wp
     GROUP BY wr.doc_id
 """
+
+
+def q_embedding_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    clusters (integer-quantized, bit-identical distributed_kmeans),
+    then within each cluster the greedy keep-lowest-id rule drops every
+    vector with cosine ≥ 0.95 to a lower-id member. No SQL oracle (the
+    k-means centroids are float matmul iterations DuckDB cannot
+    reproduce bit-for-bit); the planted-duplicate contract, layout
+    determinism and cluster-bound failure are pytest-pinned
+    (tests/test_semdedup.py)."""
+    from ocr_processor_ray.functions.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, k=8, threshold=0.95)
+
+
+QUERIES["embedding_semantic_dedup"] = q_embedding_semantic_dedup
