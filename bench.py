@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "conversation_line_dedup_sf",
     "embedding_kmeans",
     "docs_substring_dedup",
+    "embedding_semantic_dedup",
 ]
 
 
