@@ -749,12 +749,20 @@ def semantic_dedup(
     def assign_with_vec(b: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
         m = _normalize(_batch_matrix(b, vec_col))
-        cluster = np.argmax(m @ cents.T, axis=1).astype(np.int64)
+        cluster = (
+            np.argmax(m @ cents.T, axis=1).astype(np.int64)
+            if len(m)
+            else np.empty(0, np.int64)
+        )
         return pa.table(
             {
                 id_col: pc.cast(b[id_col], pa.int64()),
                 "cluster": pa.array(cluster),
-                "_vec": pa.array(list(m.astype(np.float32))),
+                # explicit type: an EMPTY batch would otherwise infer a
+                # null-typed list column and poison the union schema
+                "_vec": pa.array(
+                    list(m.astype(np.float32)), type=pa.list_(pa.float32())
+                ),
             }
         )
 

@@ -386,3 +386,20 @@ class TestDedupSubstrings:
             for d in sorted(docs):
                 assert out.loc[d, "text"] == want[d][0], (trial, d, docs)
                 assert out.loc[d, "n_dropped"] == want[d][1], (trial, d, docs)
+
+    def test_empty_block_in_input(self):
+        from ocr_processor_ray.functions.dedup import dedup_substrings
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b c d", "a b c d"]),
+            }
+        )
+        out = (
+            dedup_substrings(rd.from_arrow([t, t.slice(0, 0)]), window=4)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "text"] == "a b c d"
+        assert out.loc[2, "text"] == ""

@@ -63,3 +63,11 @@ class TestSemanticDedup:
             semantic_dedup(
                 rd.from_arrow(t), k=1, threshold=0.99, max_cluster=10
             ).to_pandas()
+
+    def test_empty_block_in_input(self):
+        # a 0-row block must not poison the union schema (typed _vec)
+        rng = np.random.RandomState(2)
+        t = _table(list(range(10)), list(rng.randn(10, 4)))
+        ds = rd.from_arrow([t, t.slice(0, 0)])
+        out = semantic_dedup(ds, k=2, threshold=0.99).to_pandas()
+        assert len(out) == 10
