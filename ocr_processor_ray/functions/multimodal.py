@@ -866,3 +866,94 @@ def synth_video_table_headers(n: int = 48, seed: int = 11) -> pa.Table:
             "timescale": pa.array(scales, pa.int64()),
         }
     )
+
+
+class EmbedImage:
+    """Actor-pool feature-EXTRACTION stage — the embed step between
+    decode and the similarity family (reference analog: the feature
+    vectors the OCR engine's layout model consumes internally).
+
+    Emits a unit-norm ``emb_dim``-float32 embedding per row under
+    ``emb`` (list<float32>), ready for ``brute_force_topk`` /
+    ``embedding_near_dup_pairs`` / ``semantic_dedup`` over media.
+
+    ``fake`` contract mirrors ``DecodeImage``: real path = PIL loaded
+    once per actor in ``__init__``, features are the row-major 8×8
+    grayscale thumbnail (64 dims, mean-centered, L2-normalized — a
+    real, model-free visual feature: near-identical images land near
+    cosine 1); stub path derives a deterministic unit vector from a
+    blake2b stream over the payload bytes, so identical payloads embed
+    identically and the downstream plumbing (schema, batch size, actor
+    signature, dedup behavior) is fully testable without codecs.
+    Undecodable rows on the real path get the all-zeros vector (the
+    never-drop contract; zero norm is the documented sentinel).
+    """
+
+    EMB_DIM = 64
+
+    def __init__(self, fake: bool | None = True, payload_col: str = "payload"):
+        self._pil = None
+        if fake is None:
+            self._pil = _try_pil()
+        elif not fake:
+            self._pil = _try_pil()
+            if self._pil is None:
+                raise NotImplementedError(
+                    "real image embedding requires PIL, not present in this "
+                    "environment; construct with fake=True for the "
+                    "deterministic stub or fake=None to auto-fall-back"
+                )
+        self.payload_col = payload_col
+
+    @staticmethod
+    def _fake_vec(data: bytes) -> np.ndarray:
+        # 64 floats from a 128-byte blake2b XOF stream: deterministic,
+        # payload-identical ⇒ embedding-identical
+        h = hashlib.blake2b(data, digest_size=64)
+        raw = h.digest() + hashlib.blake2b(
+            data, digest_size=64, person=b"lane2"
+        ).digest()
+        v = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) / 255.0
+        v = v.reshape(2, 64).sum(axis=0) - 1.0
+        n = float(np.linalg.norm(v))
+        return v / n if n else v
+
+    def _real_vec(self, data: bytes) -> np.ndarray:
+        import io
+
+        try:
+            img = self._pil.open(io.BytesIO(data))
+            small = np.asarray(
+                img.convert("L").resize((8, 8)), dtype=np.float32
+            ).reshape(-1)
+            small -= small.mean()
+            n = float(np.linalg.norm(small))
+            return small / n if n else np.zeros(self.EMB_DIM, np.float32)
+        except Exception:
+            return np.zeros(self.EMB_DIM, np.float32)  # sentinel: norm 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        vec = self._real_vec if self._pil is not None else self._fake_vec
+        out = np.empty((len(payloads), self.EMB_DIM), dtype=np.float32)
+        for i, data in enumerate(payloads):
+            out[i] = vec(data or b"")
+        return batch.drop_columns([self.payload_col]).append_column(
+            "emb", pa.array(list(out), type=pa.list_(pa.float32()))
+        )
+
+
+def embed_images(
+    ds: Dataset,
+    concurrency=(1, 4),
+    batch_size: int = DEFAULT_MEDIA_BATCH_SIZE,
+    fake: bool | None = True,
+) -> Dataset:
+    return ds.map_batches(
+        EmbedImage,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

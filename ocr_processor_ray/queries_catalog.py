@@ -4780,3 +4780,37 @@ def q_embedding_semantic_dedup(sf_dir: str):
 
 
 QUERIES["embedding_semantic_dedup"] = q_embedding_semantic_dedup
+
+
+def q_media_embed_dedup(sf_dir: str):
+    """Multimodal feature-extraction → similarity chain: actor-pool
+    EmbedImage turns binary payloads into unit-norm 64-float
+    embeddings (PIL 8×8-thumbnail features when the codec is present;
+    the deterministic payload-derived stub here — identical payloads
+    embed identically either way), then semantic_dedup prunes
+    exact/near duplicate media. The corpus plants byte-identical
+    duplicate payloads under higher ids, so the chain provably drops
+    them (pytest asserts the survivor set). No SQL oracle: embeddings
+    are payload-byte functions DuckDB cannot reproduce; the plumbing
+    and the dedup decision are pytest-pinned (tests/test_multimodal.py
+    TestEmbedImage)."""
+    import ray.data as rd2
+
+    from ocr_processor_ray.functions.multimodal import embed_images, synth_media_table
+    from ocr_processor_ray.functions.similarity import semantic_dedup
+
+    base = synth_media_table(n=96, seed=5)
+    # plant duplicates: ids 96.. re-use payload of id % 4 (byte-identical)
+    dup = base.slice(0, 4).set_column(
+        base.schema.get_field_index("media_id"),
+        "media_id",
+        pa.array([96, 97, 98, 99], pa.int64()),
+    )
+    ds = rd2.from_arrow([base, dup])
+    emb = embed_images(ds)
+    return semantic_dedup(
+        emb, id_col="media_id", vec_col="emb", k=4, threshold=0.999
+    )
+
+
+QUERIES["media_embed_dedup"] = q_media_embed_dedup
