@@ -1500,8 +1500,11 @@ def dedup_substrings(
     ``docs_substring_dedup`` oracle): word ``i`` of doc ``d`` is dropped
     iff some window start ``p ≤ i < p+W`` in ``d`` has a corpus-wide
     duplicate AND ``(d, p)`` is not its content's minimum occurrence.
-    Overlapping loser windows union; a doc's within-doc repeats drop all
-    but the earliest copy.
+    Overlapping loser windows union — including over a winner occurrence:
+    in ``x x x x x`` at W=2 the winner window (0) survives as an
+    occurrence but word 1 is still covered by the loser window at 1, so
+    only the first ``x`` remains (exactly what the oracle SQL and the
+    brute-force fuzz reference compute).
 
     Scale shape (mirrors ``dedup_lines`` — text crosses the wire once):
       1. explode — per-word 128-bit content hashes (two independent
