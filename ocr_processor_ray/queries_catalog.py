@@ -4814,3 +4814,231 @@ def q_media_embed_dedup(sf_dir: str):
 
 
 QUERIES["media_embed_dedup"] = q_media_embed_dedup
+
+
+def q_events_quantiles_by_type(sf_dir: str):
+    """Exact PER-GROUP quantiles (p25/p50/p95 per event type,
+    quantile_disc order-stat semantics) via a value-histogram group-by:
+    one two-phase hash agg over (event_type, cents) — the exchange
+    moves ≤ |types| × |distinct cents| rows, bounded by the VALUE
+    DOMAIN (≈5·10⁴ cents here), never by the corpus — and the driver
+    walks each type's sorted histogram to the quantile_disc positions
+    (same ceil(q·n)−1 convention as the global `events_value_quantiles`,
+    pinned in functions/quantile.py). At a wider value domain the same
+    shape works until |types|×|domain| rows stop being driver-bounded;
+    past that, the per-type iterative select-kth
+    (`distributed_order_stats`) is the documented fallback."""
+    from ocr_processor_ray.functions.quantile import quantile_disc_k
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "value_c": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100)), pa.int64()
+                ),
+            }
+        )
+
+    hist = two_phase_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "value_c"],
+        [("value_c", "count", "n")],
+    )
+    df = _t(hist).to_pandas()  # bounded: value-domain histogram per type
+    out_rows = []
+    for etype, sub in df.groupby("event_type", sort=True):
+        sub = sub.sort_values("value_c", ignore_index=True)
+        cum = sub["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        row = {"event_type": etype}
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95")):
+            k = quantile_disc_k(n, q)  # 0-indexed rank
+            idx = int(np.searchsorted(cum, k + 1))
+            row[name] = float(sub["value_c"].iloc[idx]) / 100.0
+        out_rows.append(row)
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(out_rows), preserve_index=False
+    )
+
+
+QUERIES["events_quantiles_by_type"] = q_events_quantiles_by_type
+
+
+ORACLE_SQL["events_quantiles_by_type"] = """
+    SELECT event_type,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)  / 100.0 AS p50,
+           quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) / 100.0 AS p95
+    FROM events GROUP BY event_type
+"""
+
+
+_TFCOS_TAU2_PCT = 81  # τ=0.9 → cos² threshold 0.81 → 100·num² ≥ 81·na·nb
+_TFCOS_MAX_NSQ = 300_000_000  # 100·num² ≤ 100·na·nb < 2^63 needs na,nb ≤ 3e8
+_TFCOS_MAX_DF = 2_000  # pairs per shared word = df·(df−1)/2 — gate hot words
+
+
+def q_docs_tf_cosine_pairs(sf_dir: str):
+    """EXACT term-frequency-weighted cosine similarity join (threshold
+    0.9 — shared common-word mass makes unrelated synthetic docs sit
+    near cos 0.75, so the bar must clear that floor to discriminate) — the WEIGHTED companion to `docs_exact_jaccard_pairs`: docs
+    are integer tf vectors over words, cosine = Σ tf_a·tf_b /
+    √(Σtf_a²·Σtf_b²). Same inverted-index shape: per batch one pass
+    builds each doc's (word, tf) multiset with Σtf² riding every row
+    (no norm-lookup join); co-occurring pairs emit tf products from a
+    coarse word-hash bucket kernel (lexsort + run scan, quadratic only
+    inside shared-word runs); ONE hash agg sums the products. The τ
+    filter is ALL-INTEGER — 100·num² ≥ 81·nsq_a·nsq_b, exact by
+    Cauchy-Schwarz inside int64 while Σtf² ≤ 3·10⁸ (≈17k repeated-token
+    words per doc; enforced loudly, 128-bit lanes are the documented
+    step past it) — so no float crosses the compare. Word identity is
+    the 64-bit hash; the oracle joins on literal words.
+
+    Unlike the 3-gram twin, single WORDS get corpus-hot: the exact join
+    emits df·(df−1)/2 rows per shared word, so document frequencies
+    beyond ``_TFCOS_MAX_DF`` raise loudly with a pointer at the
+    approximate similarity family (the ``embedding_pairs_exact``
+    honest-gate contract) — this query is the bounded-df ORACLE ground
+    truth, not the 100-TB path."""
+    from ocr_processor_ray.functions.dedup import _word_hashes
+    from ocr_processor_ray.functions.relational import _bucket_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        words_per = [t.split() for t in b["text"].to_pylist()]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_wh, out_tf, out_ns = [], [], [], []
+        for i, ws in enumerate(words_per):
+            if not ws:
+                continue
+            wh, tf = np.unique(_word_hashes(ws), return_counts=True)
+            tf = tf.astype(np.int64)
+            nsq = int((tf * tf).sum())
+            if nsq > _TFCOS_MAX_NSQ:
+                raise ValueError(
+                    f"docs_tf_cosine_pairs: doc {ids[i]} has Σtf²={nsq} > "
+                    f"{_TFCOS_MAX_NSQ}; the integer τ filter would overflow "
+                    "int64 — move num/nsq to 128-bit lanes for such docs"
+                )
+            out_id.append(np.full(len(wh), ids[i], np.int64))
+            out_wh.append(wh.view(np.int64))
+            out_tf.append(tf)
+            out_ns.append(np.full(len(wh), nsq, np.int64))
+        cols = ["doc_id", "wh", "tf", "nsq"]
+        if not out_id:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "wh": pa.array(np.concatenate(out_wh)),
+                "tf": pa.array(np.concatenate(out_tf)),
+                "nsq": pa.array(np.concatenate(out_ns)),
+            }
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("_bucket", pa.array(_bucket_of(b["wh"], 64)))
+
+    def emit_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        wh = g["wh"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        tf = g["tf"].to_numpy()
+        ns = g["nsq"].to_numpy()
+        order = np.lexsort((ids, wh))
+        wh, ids, tf, ns = wh[order], ids[order], tf[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, wh[1:] != wh[:-1]])
+        ends = np.r_[starts[1:], len(wh)]
+        lens = ends - starts
+        if (lens > _TFCOS_MAX_DF).any():
+            # the exact weighted join is quadratic in document frequency
+            # (unlike the 3-gram Jaccard twin, single WORDS get hot) —
+            # fail loudly rather than emit df²/2 rows per stopword; the
+            # same honest-gate contract as embedding_pairs_exact
+            raise ValueError(
+                f"docs_tf_cosine_pairs: a word co-occurs in "
+                f"{int(lens.max())} docs > max df {_TFCOS_MAX_DF}; the "
+                "exact inverted-index cosine join is quadratic in df — "
+                "use the approximate similarity family (minhash_pairs / "
+                "embedding_near_dup) at this corpus size"
+            )
+        cols: dict[str, list] = {
+            "id_a": [], "id_b": [], "prod": [], "nsq_a": [], "nsq_b": []
+        }
+        for s, e in zip(starts[lens >= 2], ends[lens >= 2]):
+            a, b = np.triu_indices(e - s, k=1)
+            cols["id_a"].append(ids[s:e][a])
+            cols["id_b"].append(ids[s:e][b])
+            cols["prod"].append(tf[s:e][a] * tf[s:e][b])
+            cols["nsq_a"].append(ns[s:e][a])
+            cols["nsq_b"].append(ns[s:e][b])
+        if not cols["id_a"]:
+            return pd.DataFrame({k: pd.array([], dtype="int64") for k in cols})
+        return pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+    co = (
+        rows.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(emit_bucket, batch_format="pandas")
+    )
+    co = co.map_batches(
+        lambda t: pa.table(
+            {
+                c: pc.cast(t[c], pa.int64())
+                for c in ("id_a", "id_b", "prod", "nsq_a", "nsq_b")
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    summed = two_phase_agg(
+        co,
+        ["id_a", "id_b", "nsq_a", "nsq_b"],
+        [("prod", "sum", "num")],
+    )
+
+    def tau_filter(b: pa.Table) -> pa.Table:
+        num = b["num"].to_numpy(zero_copy_only=False)
+        na = b["nsq_a"].to_numpy(zero_copy_only=False)
+        nb_ = b["nsq_b"].to_numpy(zero_copy_only=False)
+        keep = 100 * num * num >= _TFCOS_TAU2_PCT * na * nb_
+        t = b.filter(pa.array(keep))
+        return t.select(["id_a", "id_b", "num", "nsq_a", "nsq_b"])
+
+    return summed.map_batches(
+        tau_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+QUERIES["docs_tf_cosine_pairs"] = q_docs_tf_cosine_pairs
+
+
+ORACLE_SQL["docs_tf_cosine_pairs"] = f"""
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM w GROUP BY doc_id, word
+    ), norms AS (
+        SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nsq
+        FROM tf GROUP BY doc_id
+    ), num AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(sum(x.tf * y.tf) AS BIGINT) AS num
+        FROM tf x JOIN tf y ON x.word = y.word AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT id_a, id_b, num, na.nsq AS nsq_a, nb.nsq AS nsq_b
+    FROM num
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE 100 * num * num >= {_TFCOS_TAU2_PCT} * na.nsq * nb.nsq
+"""

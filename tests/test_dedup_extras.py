@@ -403,3 +403,32 @@ class TestDedupSubstrings:
         )
         assert out.loc[1, "text"] == "a b c d"
         assert out.loc[2, "text"] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfCosinePairs:
+    def test_hot_word_df_gate_raises(self, monkeypatch):
+        from ocr_processor_ray import queries_catalog as qc
+
+        monkeypatch.setattr(qc, "_TFCOS_MAX_DF", 3)
+        with pytest.raises(Exception, match="max df"):
+            qc.QUERIES["docs_tf_cosine_pairs"](
+                "/root/testdata/sf0.001"
+            ).to_pandas()
+
+    def test_pairs_satisfy_integer_tau_bound(self):
+        from ocr_processor_ray import queries_catalog as qc
+
+        df = qc.QUERIES["docs_tf_cosine_pairs"](
+            "/root/testdata/sf0.001"
+        ).to_pandas()
+        # non-trivial at this corpus (near-dup planted docs clear τ=0.9)
+        assert len(df) > 0
+        assert (df["id_a"] < df["id_b"]).all()
+        assert (df["num"] > 0).all()
+        # every emitted pair satisfies the exact integer τ filter, and
+        # none exceeds Cauchy-Schwarz (cos ≤ 1)
+        lhs = 100 * df["num"] * df["num"]
+        rhs = df["nsq_a"] * df["nsq_b"]
+        assert (lhs >= qc._TFCOS_TAU2_PCT * rhs).all()
+        assert (df["num"] * df["num"] <= rhs).all()
