@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "doc_security_scan",
     "events_sliding_1h",
     "events_daily_users",
+    "events_quantiles_by_type",
     "building_segment_revenue",
     "events_topk_per_type",
     "purchase_errors_prev_1h",
