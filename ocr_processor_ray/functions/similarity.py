@@ -38,6 +38,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _det_sims(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Row×centroid cosine sims with a LAYOUT-INDEPENDENT reduction:
+    each output element is a float64 pairwise sum over that (row,
+    centroid) pair's dim products only, so the result is bit-identical
+    under ANY batch/block split. A float32 GEMM's reduction order
+    varies with the matrix SHAPE — measured: one sim_q rounding flipped
+    between a 1-block and a split layout at sf0.001 — which would make
+    k-means cluster stats (and the single-threaded oracle compare)
+    layout-dependent. Cost is k× the GEMM's memory traffic; bounded by
+    batch_rows × k × dim float64 (a few MB at k ≤ 64)."""
+    return (m[:, None, :].astype(np.float64) * cents[None, :, :].astype(np.float64)).sum(
+        axis=2
+    )
+
+
 def brute_force_topk(
     ds: Dataset,
     query: np.ndarray,
@@ -543,7 +558,7 @@ def distributed_kmeans(
         def partial(b: pa.Table) -> pa.Table:
             cents = ray.get(cent_ref)
             m = _normalize(_batch_matrix(b, vec_col))
-            assign = np.argmax(m @ cents.T, axis=1)
+            assign = np.argmax(_det_sims(m, cents), axis=1)
             counts = np.bincount(assign, minlength=len(cents)).astype(np.int64)
             q = np.round(m.astype(np.float64) * _KMEANS_SCALE).astype(np.int64)
             sums = np.zeros((len(cents), m.shape[1]), dtype=np.int64)
@@ -596,7 +611,7 @@ def distributed_kmeans(
     def assign_batch(b: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
         m = _normalize(_batch_matrix(b, vec_col))
-        sims = m @ cents.T
+        sims = _det_sims(m, cents)
         assign = np.argmax(sims, axis=1)
         best = sims[np.arange(len(assign)), assign]
         # quantized similarity: keeps every downstream aggregate integer
@@ -733,9 +748,11 @@ def semantic_dedup(
     sized to fit a worker). Clusters beyond ``max_cluster`` members
     raise loudly with that guidance rather than silently thrashing.
 
-    No SQL oracle is possible (k-means centroids are float matmul
-    iterations DuckDB cannot reproduce); determinism and the planted
-    near-duplicate contract are pytest-pinned (tests/test_semdedup.py).
+    Driver-visible oracle: DuckDB cannot restate the k-means float
+    iterations, so the catalog compares against a materialized
+    single-threaded recomputation (oracle_refs.ref_semantic_dedup);
+    determinism and the planted near-duplicate contract are
+    pytest-pinned (tests/test_semdedup.py).
     """
     import ray
 
@@ -750,7 +767,7 @@ def semantic_dedup(
         cents = ray.get(cent_ref)
         m = _normalize(_batch_matrix(b, vec_col))
         cluster = (
-            np.argmax(m @ cents.T, axis=1).astype(np.int64)
+            np.argmax(_det_sims(m, cents), axis=1).astype(np.int64)
             if len(m)
             else np.empty(0, np.int64)
         )
