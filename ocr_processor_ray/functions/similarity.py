@@ -364,9 +364,23 @@ _HYPERPLANE_SEED = 977
 
 
 def hyperplane_signs(m: np.ndarray, dim: int, n_bits: int, table: int) -> np.ndarray:
+    """Hyperplane sign bits with a LAYOUT-INDEPENDENT projection: each
+    (row, plane) projection is a float64 pairwise sum over that row's
+    dim products only (same rationale as ``_det_sims`` — a float32 GEMM
+    reorders its reduction with the matrix SHAPE, so a projection within
+    an ulp of 0 could flip its sign between batch layouts, silently
+    moving a vector to a different bucket). Rows are chunked to bound
+    the float64 temporary at ~16 MB regardless of batch size."""
     rng = np.random.RandomState(_HYPERPLANE_SEED + table)
     planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
-    return ((m @ planes) > 0).astype(np.uint64)
+    pt = planes.T.astype(np.float64)[None, :, :]
+    out = np.empty((len(m), n_bits), np.uint64)
+    step = max(1, (16 << 20) // (max(n_bits, 1) * max(dim, 1) * 8))
+    for s in range(0, len(m), step):
+        e = min(s + step, len(m))
+        proj = (m[s:e, None, :].astype(np.float64) * pt).sum(axis=2)
+        out[s:e] = proj > 0
+    return out
 
 
 def lsh_topk(
@@ -403,14 +417,21 @@ def lsh_topk(
             mask |= keys == q_keys[t]
         if not mask.any():
             return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
-        sims = m[mask] @ q[0]
+        # per-row float64 einsum: reduction order fixed per row, so the
+        # rounded sim is identical under any batch layout
+        sims = np.einsum(
+            "ij,j->i", m[mask].astype(np.float64), q[0].astype(np.float64)
+        )
         ids = np.asarray(batch[id_col])[mask]
-        n = min(k, len(sims))
-        idx = np.argpartition(-sims, n - 1)[:n]
+        # cut in the SAME (rounded sim desc, id asc) order global_topk
+        # merges with, so the per-batch top-k union always contains the
+        # exact global top-k even through rounded ties at the boundary
+        r = np.round(sims, round_to)
+        idx = np.lexsort((ids, -r))[: min(k, len(sims))]
         return pa.table(
             {
                 id_col: pa.array(ids[idx], pa.int64()),
-                "sim": pa.array(np.round(sims[idx].astype(np.float64), round_to)),
+                "sim": pa.array(r[idx], pa.float64()),
             }
         )
 
@@ -476,16 +497,19 @@ def ivf_topk(
     def probe(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
         m = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
-        cells = np.argmax(m @ cents.T, axis=1)
+        # layout-independent cell assignment (see _det_sims): a borderline
+        # argmax must not flip with the batch split
+        cells = np.argmax(_det_sims(m, cents), axis=1)
         mask = np.isin(cells, list(probe_set))
         if not mask.any():
             return pa.table(
                 {id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
             )
-        sims = m[mask] @ q
+        sims = np.einsum("ij,j->i", m[mask], q)
         ids = np.asarray(batch[id_col])[mask]
-        n = min(k, len(sims))
-        idx = np.argpartition(-sims, n - 1)[:n]
+        # same (sim desc, id asc) cut order as global_topk's merge —
+        # identical-vector sim ties cannot drop the id-tiebreak winner
+        idx = np.lexsort((ids, -sims))[: min(k, len(sims))]
         return pa.table(
             {
                 id_col: pa.array(ids[idx], pa.int64()),

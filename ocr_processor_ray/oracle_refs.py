@@ -359,6 +359,212 @@ def ref_semantic_dedup(
     )
 
 
+# ------------------------------------------------------------ ANN / LSH
+
+def _ref_norm32(tbl: pa.Table, vec_col: str) -> np.ndarray:
+    return _ref_normalize(_ref_vec_matrix(tbl, vec_col))
+
+
+def _ref_query_vec(emb: pa.Table) -> np.ndarray:
+    idx = emb["vec_id"].to_pylist().index(0)
+    return np.asarray(emb["embedding"][idx].as_py(), dtype=np.float32)
+
+
+def ref_ann_topk_lsh(
+    emb: pa.Table, k: int = 10, n_bits: int = 8, n_tables: int = 4
+) -> pa.Table:
+    """(rank, vec_id) — sequential restatement of lsh_topk: probe the
+    query's bucket in every table over the WHOLE corpus at once (no
+    batching, no global_topk), score candidates with the same per-row
+    float64 einsum, order by (sim desc, id asc). hyperplane_signs and
+    the rounding ARE the spec (both layout-independent by construction);
+    what this does NOT share is the distributed probe + bounded
+    candidate merge the compare is meant to prove."""
+    from ocr_processor_ray.functions.similarity import hyperplane_signs
+
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    m = _ref_norm32(emb, "embedding")
+    q = _ref_normalize(_ref_query_vec(emb).reshape(1, -1))
+    dim = m.shape[1]
+    powers = 1 << np.arange(n_bits, dtype=np.uint64)
+    mask = np.zeros(len(m), dtype=bool)
+    for t in range(n_tables):
+        qk = int(hyperplane_signs(q, dim, n_bits, t)[0] @ powers)
+        keys = hyperplane_signs(m, dim, n_bits, t) @ powers
+        mask |= keys == qk
+    sims = np.einsum(
+        "ij,j->i", m[mask].astype(np.float64), q[0].astype(np.float64)
+    )
+    cand_ids = ids[mask]
+    order = np.lexsort((cand_ids, -np.round(sims, 4)))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+            "vec_id": pa.array(cand_ids[order], pa.int64()),
+        }
+    )
+
+
+def ref_ann_topk_ivf(
+    emb: pa.Table,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    train_sample: int = 2048,
+    seed: int = 1231,
+) -> pa.Table:
+    """(rank, vec_id) — sequential restatement of ivf_topk. Training is
+    the shared driver-side spec (_kmeans_cosine over the first
+    ``train_sample`` rows in table order — exactly what ds.limit hands
+    the production path); assignment/scoring reuse the layout-
+    independent formulas; the distributed probe + merge is what the
+    compare proves."""
+    from ocr_processor_ray.functions.similarity import (
+        _det_sims,
+        _kmeans_cosine,
+    )
+
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    sample = _ref_vec_matrix(emb.slice(0, train_sample), "embedding")
+    centroids = _kmeans_cosine(sample, n_cells, seed)
+
+    q = _ref_normalize(
+        _ref_query_vec(emb).astype(np.float64).reshape(1, -1)
+    )[0]
+    probe_cells = set(
+        int(c) for c in np.argsort(-(centroids @ q))[:n_probe]
+    )
+    m = _ref_normalize(_ref_vec_matrix(emb, "embedding").astype(np.float64))
+    cells = np.argmax(_det_sims(m, centroids), axis=1)
+    mask = np.isin(cells, list(probe_cells))
+    sims = np.einsum("ij,j->i", m[mask], q)
+    cand_ids = ids[mask]
+    order = np.lexsort((cand_ids, -sims))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+            "vec_id": pa.array(cand_ids[order], pa.int64()),
+        }
+    )
+
+
+def ref_embedding_near_dup(
+    emb: pa.Table,
+    threshold: float = 0.45,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    round_to: int = 5,
+    max_bucket: int = 500,
+) -> pa.Table:
+    """(id_a, id_b, cos_sim) — sequential restatement of
+    embedding_near_dup_pairs: same adaptive key width, per-table
+    bucketing, recursive overflow subdivision and rotating-star rule,
+    then exact float64 cosine verification of the deduped candidate
+    set. The sign/key formulas are the spec; the bucketed groupby +
+    two-exchange verify orchestration is what the compare proves."""
+    from ocr_processor_ray.functions.similarity import (
+        _LSH_SIGN_BITS,
+        _adaptive_key_bits,
+        hyperplane_signs,
+    )
+
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    m32 = _ref_norm32(emb, "embedding")
+    n = len(ids)
+    kb = _adaptive_key_bits(n, n_bits, max(32, max_bucket // 4))
+    key_mask = (1 << kb) - 1
+    powers = 1 << np.arange(_LSH_SIGN_BITS, dtype=np.uint64)
+
+    cand: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        fk = (hyperplane_signs(m32, m32.shape[1], _LSH_SIGN_BITS, t) @ powers).astype(
+            np.int64
+        )
+        by_key: dict[int, list[int]] = {}
+        for i, key in enumerate(fk & key_mask):
+            by_key.setdefault(int(key), []).append(i)
+        for rows in by_key.values():
+            stack = [(np.asarray(rows), kb)]
+            while stack:
+                idxs, bit = stack.pop()
+                if len(idxs) > max_bucket and bit < _LSH_SIGN_BITS:
+                    side = (fk[idxs] >> bit) & 1
+                    stack.append((idxs[side == 0], bit + 1))
+                    stack.append((idxs[side == 1], bit + 1))
+                    continue
+                u = np.unique(ids[idxs])
+                if u.size < 2:
+                    continue
+                if u.size > max_bucket:
+                    center = t % u.size
+                    others = np.delete(u, center)
+                    for o in others:
+                        a, b = sorted((int(u[center]), int(o)))
+                        cand.add((a, b))
+                else:
+                    for i in range(u.size):
+                        for j in range(i + 1, u.size):
+                            cand.add((int(u[i]), int(u[j])))
+
+    # exact verify on float64-normalized RAW vectors (the pay columns
+    # cross the production exchange as list<float64> casts of the raw
+    # embedding — never the float32 sign path)
+    m64 = _ref_normalize(_ref_vec_matrix(emb, "embedding").astype(np.float64))
+    row_of = {int(i): r for r, i in enumerate(ids)}
+    a_out, b_out, c_out = [], [], []
+    for a, b in sorted(cand):
+        cos = float(
+            np.einsum("j,j->", m64[row_of[a]], m64[row_of[b]])
+        )
+        if cos >= threshold:
+            a_out.append(a)
+            b_out.append(b)
+            c_out.append(round(cos, round_to))
+    return pa.table(
+        {
+            "id_a": pa.array(a_out, pa.int64()),
+            "id_b": pa.array(b_out, pa.int64()),
+            "cos_sim": pa.array(c_out, pa.float64()),
+        }
+    )
+
+
+_PCA_SCALE = 1 << 16  # must match similarity._PCA_SCALE (the spec quantum)
+
+
+def ref_embedding_pca(emb: pa.Table, n_components: int = 2) -> pa.Table:
+    """(vec_id, pc1, pc2) — sequential restatement of distributed_pca +
+    projection: the same int64-quantized sufficient statistics computed
+    in ONE pass over the whole table (integer sums are fold-order-free,
+    so the sequential totals equal the distributed tree-fold's exactly),
+    the same dim×dim eigh, sign canonicalization, and the same per-row
+    float64 pairwise projection."""
+    ids = emb["vec_id"]
+    m = _ref_vec_matrix(emb, "embedding").astype(np.float64)
+    q = np.round(m * _PCA_SCALE).astype(np.int64)
+    n = m.shape[0]
+    sx = q.sum(axis=0)
+    sxx = q.T @ q
+    mean = sx.astype(np.float64) / (n * _PCA_SCALE)
+    cov = sxx.astype(np.float64) / (n * _PCA_SCALE**2) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T.copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    centered = m - mean
+    proj = (centered[:, None, :] * comps.astype(np.float64)[None, :, :]).sum(axis=2)
+    return pa.table(
+        {
+            "vec_id": ids,
+            "pc1": pa.array(proj[:, 0], pa.float64()),
+            "pc2": pa.array(proj[:, 1], pa.float64()),
+        }
+    )
+
+
 # -------------------------------------------------------- media stub specs
 
 

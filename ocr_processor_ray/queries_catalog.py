@@ -296,32 +296,54 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_topk_lsh(sf_dir: str):
-    """Hyperplane-LSH ANN. No oracle BY NATURE of this corpus: the
-    embeddings table is isotropic random, so vec 0's true "top-10"
-    (cosine ≈ 0.1-0.5) are statistically indistinguishable from random
-    vectors and no sublinear method can be expected to recover them —
-    measured planted-neighbor recall is 10/10 (tests/test_functions.py),
-    which is the meaningful claim for real corpora."""
+    """Hyperplane-LSH ANN top-10 of vec_id=0 as (rank, vec_id).
+    ORACLED (r5) against the sequential recomputation of the SAME
+    algorithm (oracle_refs.ref_ann_topk_lsh): signs/buckets are
+    layout-independent (hyperplane_signs float64 pairwise projection)
+    and per-row einsum sims make the rounded ranking bit-stable, so the
+    compare proves the distributed probe + bounded top-k merge. Recall
+    vs the TRUE neighbors is a separate claim — this corpus is isotropic
+    random, so measured planted-neighbor recall (10/10,
+    tests/test_functions.py) remains the meaningful recall evidence."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return lsh_topk(ds, _query_vec(sf_dir), k=10, round_to=4)
+    t = lsh_topk(ds, _query_vec(sf_dir), k=10, round_to=4)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+            "vec_id": t["vec_id"],
+        }
+    )
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    """IVF ANN: spherical-kmeans cells trained on a bounded sample,
-    probe only the query's nearest cells (functions/similarity.ivf_topk).
-    No oracle for the same reason as `ann_topk_lsh` (isotropic corpus —
-    sublinear recall of near-random neighbors is information-
-    theoretically limited); planted-neighbor recall is 10/10 in pytest."""
+    """IVF ANN top-10 of vec_id=0 as (rank, vec_id): spherical-kmeans
+    cells trained on a bounded sample, probe only the query's nearest
+    cells (functions/similarity.ivf_topk). ORACLED (r5) against the
+    sequential recomputation (oracle_refs.ref_ann_topk_ivf) — shared
+    driver-side training spec (_kmeans_cosine on the same first-2048
+    sample), layout-independent cell assignment (_det_sims), per-row
+    einsum sims; planted-neighbor recall stays pytest-measured."""
     from ocr_processor_ray.functions.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_topk(ds, _query_vec(sf_dir), k=10, n_cells=16, n_probe=6)
+    t = ivf_topk(ds, _query_vec(sf_dir), k=10, n_cells=16, n_probe=6)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+            "vec_id": t["vec_id"],
+        }
+    )
 
 
 def q_embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-dup pairs. This corpus is isotropic random
     (max offdiagonal cosine ≈ 0.48 at sf0.001), so the threshold sits at
-    0.45 to exercise the pipeline; real corpora use ≥ 0.9."""
+    0.45 to exercise the pipeline; real corpora use ≥ 0.9. ORACLED (r5)
+    against the sequential restatement of the same LSH + exact-verify
+    algorithm (oracle_refs.ref_embedding_near_dup) — adaptive key
+    width, overflow subdivision, rotating star and the float64 cosine
+    verify all recomputed single-threaded; measured recall vs the exact
+    pair set stays pinned in tests/test_lsh_recall.py."""
     from ocr_processor_ray.functions.similarity import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2265,8 +2287,11 @@ def q_embedding_pca(sf_dir: str):
     clustering). One pass of quantized integer sufficient statistics →
     bit-identical covariance under any block layout (see
     similarity.distributed_pca); the dim×dim eigenproblem is driver-side
-    by construction. Rows-only (float projections); determinism and
-    numpy-dense-PCA agreement are pytest-pinned."""
+    by construction. ORACLED (r5): the integer sufficient statistics are
+    fold-order-free and the projection uses a per-row layout-independent
+    float64 reduction, so every pc value must be bit-equal to the
+    sequential recomputation (oracle_refs.ref_embedding_pca);
+    numpy-dense-PCA agreement stays pytest-pinned."""
     import ray
 
     from ocr_processor_ray.functions.similarity import _batch_matrix, distributed_pca
@@ -2278,7 +2303,11 @@ def q_embedding_pca(sf_dir: str):
     def project(b: pa.Table) -> pa.Table:
         c, mu = ray.get(c_ref)
         m = _batch_matrix(b, "embedding").astype(np.float64) - mu
-        proj = m @ c.T
+        # layout-independent projection (see similarity._det_sims): each
+        # (row, component) is a per-row float64 pairwise sum, so pc
+        # values are bit-identical under any batch split — what lets the
+        # sequential reference recomputation serve as the driver oracle
+        proj = (m[:, None, :] * c[None, :, :]).sum(axis=2)
         return pa.table(
             {
                 "vec_id": b["vec_id"],
@@ -2598,6 +2627,10 @@ _REF_SF_QUERIES: dict[str, tuple[str, list[str]]] = {
     "approx_users_by_type": ("events", ["event_type", "user_id"]),
     "embedding_kmeans": ("embeddings", ["vec_id", "embedding"]),
     "embedding_semantic_dedup": ("embeddings", ["vec_id", "embedding"]),
+    "ann_topk_lsh": ("embeddings", ["vec_id", "embedding"]),
+    "ann_topk_ivf": ("embeddings", ["vec_id", "embedding"]),
+    "embedding_near_dup": ("embeddings", ["vec_id", "embedding"]),
+    "embedding_pca": ("embeddings", ["vec_id", "embedding"]),
 }
 
 _REF_MEDIA_QUERIES = (
@@ -2818,6 +2851,12 @@ def ensure_oracle_inputs() -> None:
         "embedding_semantic_dedup": lambda t: _refs.ref_semantic_dedup(
             t, k=8, threshold=0.95
         ),
+        "ann_topk_lsh": _refs.ref_ann_topk_lsh,
+        "ann_topk_ivf": _refs.ref_ann_topk_ivf,
+        "embedding_near_dup": lambda t: _refs.ref_embedding_near_dup(
+            t, threshold=0.45
+        ),
+        "embedding_pca": _refs.ref_embedding_pca,
     }
     for name, (table_name, cols) in _REF_SF_QUERIES.items():
         path = paths[f"ref_{name}"]
@@ -4305,6 +4344,26 @@ ORACLE_SQL["embedding_kmeans"] = f"""
 ORACLE_SQL["embedding_semantic_dedup"] = f"""
     SELECT vec_id, cluster
     FROM read_parquet('{_EXPECTED_PATHS["ref_embedding_semantic_dedup"]}')
+    WHERE _sf_tag = {_REF_TAG}
+"""
+ORACLE_SQL["ann_topk_lsh"] = f"""
+    SELECT rank, vec_id
+    FROM read_parquet('{_EXPECTED_PATHS["ref_ann_topk_lsh"]}')
+    WHERE _sf_tag = {_REF_TAG}
+"""
+ORACLE_SQL["ann_topk_ivf"] = f"""
+    SELECT rank, vec_id
+    FROM read_parquet('{_EXPECTED_PATHS["ref_ann_topk_ivf"]}')
+    WHERE _sf_tag = {_REF_TAG}
+"""
+ORACLE_SQL["embedding_near_dup"] = f"""
+    SELECT id_a, id_b, cos_sim
+    FROM read_parquet('{_EXPECTED_PATHS["ref_embedding_near_dup"]}')
+    WHERE _sf_tag = {_REF_TAG}
+"""
+ORACLE_SQL["embedding_pca"] = f"""
+    SELECT vec_id, pc1, pc2
+    FROM read_parquet('{_EXPECTED_PATHS["ref_embedding_pca"]}')
     WHERE _sf_tag = {_REF_TAG}
 """
 ORACLE_SQL["media_decode"] = f"""

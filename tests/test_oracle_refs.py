@@ -144,6 +144,63 @@ class TestKmeansRef:
         assert 0 in ids and 99 not in ids
 
 
+class TestAnnRefs:
+    def _emb(self, n=200, dim=16, seed=7, plant_dup=True):
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim)).astype(np.float32)
+        ids = list(range(n))
+        if plant_dup:
+            # near-copy of vec 0 planted at the highest id
+            vecs = np.vstack([vecs, vecs[0] + 1e-3])
+            ids.append(n)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+    def test_lsh_ref_finds_self_and_planted_dup(self):
+        emb = self._emb()
+        out = refs.ref_ann_topk_lsh(emb, k=10)
+        got = out["vec_id"].to_pylist()
+        assert got[0] == 0  # the query vector itself, sim 1.0
+        assert 200 in got[:2]  # near-copy shares every bucket
+
+    def test_ivf_ref_finds_self_and_planted_dup(self):
+        emb = self._emb()
+        out = refs.ref_ann_topk_ivf(emb, k=10, n_cells=4, n_probe=2)
+        got = out["vec_id"].to_pylist()
+        assert got[0] == 0
+        assert 200 in got[:2]
+
+    def test_near_dup_ref_recovers_planted_pair(self):
+        emb = self._emb()
+        out = refs.ref_embedding_near_dup(emb, threshold=0.99)
+        pairs = list(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+        assert (0, 200) in pairs
+        cos = out["cos_sim"].to_pylist()[pairs.index((0, 200))]
+        assert cos > 0.999
+
+    def test_pca_ref_matches_dense_numpy(self):
+        emb = self._emb(plant_dup=False)
+        out = refs.ref_embedding_pca(emb, n_components=2)
+        m = np.array(
+            [v for v in emb["embedding"].to_pylist()], dtype=np.float64
+        )
+        centered = m - m.mean(axis=0)
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        got = np.column_stack(
+            [out["pc1"].to_numpy(), out["pc2"].to_numpy()]
+        )
+        for i in range(2):  # eigenvector sign is arbitrary in the SVD
+            dense = centered @ vt[i]
+            assert (
+                np.abs(got[:, i] - dense).max() < 1e-3
+                or np.abs(got[:, i] + dense).max() < 1e-3
+            )
+
+
 class TestMediaRefs:
     def _media(self, n=8, seed=5):
         from ocr_processor_ray.functions.multimodal import synth_media_table
