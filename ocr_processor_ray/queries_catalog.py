@@ -3115,8 +3115,9 @@ def q_training_corpus(sf_dir: str):
 
 def q_training_corpus_sf(sf_dir: str):
     """sf-scaled `training_corpus` (corpus size keyed to the sf dir) —
-    the benchmarked variant; correctness is oracled on the fixed-corpus
-    twin above."""
+    the benchmarked variant. ORACLED (r5): DuckDB reassembles the
+    conversations from the sf-tagged full-column flagship expectation
+    (same chain as the fixed-corpus twin, no raw-corpus join needed)."""
     return _training_corpus_pipeline(_flagship_corpus(sf_dir))
 
 
@@ -3143,8 +3144,10 @@ def q_conversations_near_dedup(sf_dir: str):
 
 def q_conversations_near_dedup_sf(sf_dir: str):
     """sf-scaled `conversations_near_dedup` (corpus size keyed to the
-    sf dir) — the benchmarked variant; correctness is oracled on the
-    fixed-corpus twin above."""
+    sf dir) — the benchmarked variant. ORACLED (r5) with the same
+    exact-pair → components → min-survivor SQL chain as the fixed twin,
+    reassembled from the sf-tagged flagship expectation (32×2 banding
+    keeps the LSH candidate set equal to the exact τ=0.7 set)."""
     from ocr_processor_ray.pipelines.conversations import near_dedup_conversations
 
     return near_dedup_conversations(_flagship_corpus(sf_dir), n_bands=32)
@@ -4486,6 +4489,72 @@ ORACLE_SQL["conversations_near_dedup"] = f"""
         WHERE doc_id NOT IN (SELECT n FROM losers)
 """
 
+# sf-scaled twins (r5): identical chains over the SF-KEYED corpus —
+# DuckDB reassembles each conversation from the full-column flagship
+# expectation (which already carries role/status/clean_text per sf dir,
+# so no raw-corpus join is needed) and self-selects its sf via _sf_tag.
+_CONV_ASSEMBLY_CTE_SF = f"""
+        turns AS (
+            SELECT conv_id, turn_idx, role, clean_text, status
+            FROM read_parquet('{_EXPECTED_PATHS["flagship_full"]}')
+            WHERE _sf_tag = {_REF_TAG}
+        ), conv_docs AS (
+            SELECT CAST(substr(conv_id, 6) AS BIGINT) AS doc_id,
+                   conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN status = 'parse_failure'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(sum(CASE WHEN status = 'skipped'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+                   coalesce(string_agg(
+                       CASE WHEN status <> 'parse_failure'
+                            THEN '[' || role || '] ' || clean_text END,
+                       chr(10) || chr(10) ORDER BY turn_idx), '') AS text
+            FROM turns GROUP BY conv_id
+        )
+"""
+
+ORACLE_SQL["conversations_near_dedup_sf"] = f"""
+        WITH RECURSIVE {_CONV_ASSEMBLY_CTE_SF},
+        {_exact_jaccard_cte("conv_docs")}, {_near_dedup_losers_cte(70)}
+        SELECT conv_id, CAST(length(text) AS BIGINT) AS doc_chars
+        FROM conv_docs
+        WHERE doc_id NOT IN (SELECT n FROM losers)
+"""
+
+ORACLE_SQL["training_corpus_sf"] = f"""
+        WITH {_CONV_ASSEMBLY_CTE_SF}
+        SELECT min(conv_id) AS conv_id, CAST(count(*) AS BIGINT) AS n
+        FROM conv_docs
+        WHERE n_turns >= 3 AND length(text) >= 200 AND n_failed = 0
+        GROUP BY text
+"""
+
+ORACLE_SQL["conversation_line_dedup_sf"] = f"""
+        WITH {_CONV_ASSEMBLY_CTE_SF}, lns AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10) || chr(10))) AS line,
+                   generate_subscripts(
+                       string_split(text, chr(10) || chr(10)), 1) - 1 AS pos
+            FROM conv_docs
+        ), win AS (
+            SELECT line, min(doc_id * 1048576 + pos) AS w, count(*) AS n
+            FROM lns GROUP BY line
+        ), flagged AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   (w.n = 1 OR l.doc_id * 1048576 + l.pos = w.w) AS keep
+            FROM lns l JOIN win w ON l.line = w.line
+        )
+        SELECT doc_id AS conv_int,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+               CAST(length(coalesce(string_agg(
+                   CASE WHEN keep THEN line END,
+                   chr(10) || chr(10) ORDER BY pos), ''))
+                    AS BIGINT) AS clean_chars
+        FROM flagged GROUP BY doc_id
+"""
+
 
 # ===================================================================
 # round 3: decontamination, quality-ranked dedup, source caps,
@@ -4650,8 +4719,9 @@ def q_conversation_line_dedup(sf_dir: str):
 
 def q_conversation_line_dedup_sf(sf_dir: str):
     """sf-scaled `conversation_line_dedup` (corpus size keyed to the sf
-    dir) — the benchmarked variant; correctness is oracled on the
-    fixed-corpus twin above."""
+    dir) — the benchmarked variant. ORACLED (r5) with the fixed twin's
+    packed-(doc,pos) survivor SQL, reassembled from the sf-tagged
+    flagship expectation."""
     return _conversation_line_dedup_pipeline(_flagship_corpus(sf_dir))
 
 
