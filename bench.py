@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "word_df_en_vs_fr",
     "dedup_keep_best",
     "docs_source_cap",
+    "docs_token_budget",
     "doc_quality_gate",
     "docs_length_gate",
     "customers_with_urgent_orders",

@@ -200,6 +200,108 @@ def grouped_topk(
     )
 
 
+def _local_budget_select(
+    batch: pa.Table,
+    key: str,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    tiebreak: str,
+    cum_col: str | None,
+) -> pa.Table:
+    """Keep each key's greedy budget prefix of ONE batch: rows sorted by
+    (order desc, tiebreak asc) whose inclusive per-key running
+    ``weight_col`` sum is ≤ ``budget``. Weights are non-negative, so the
+    running sum is monotone and the kept set is a true prefix. When
+    ``cum_col`` is set the inclusive running sum is emitted (combine
+    stage only — partial cums are block-local and meaningless)."""
+    if batch.num_rows == 0:
+        if cum_col is not None:
+            batch = batch.append_column(cum_col, pa.array([], pa.int64()))
+        return batch
+    batch = batch.sort_by(
+        [(key, "ascending"), (order_col, "descending"), (tiebreak, "ascending")]
+    )
+    karr = batch[key].to_numpy(zero_copy_only=False)
+    w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(w) and w.min() < 0:
+        raise ValueError(
+            f"grouped_budget_select: negative weight in {weight_col!r} "
+            "breaks the monotone-prefix selection rule"
+        )
+    changed = np.r_[True, karr[1:] != karr[:-1]]
+    starts = np.nonzero(changed)[0]
+    sizes = np.diff(np.r_[starts, len(karr)])
+    cum = np.cumsum(w)
+    # per-key inclusive running sum: subtract the cumsum just before
+    # each key's first row
+    base = np.repeat(cum[starts] - w[starts], sizes)
+    cum = cum - base
+    if cum_col is not None:
+        batch = batch.append_column(cum_col, pa.array(cum, pa.int64()))
+    return batch.filter(pa.array(cum <= budget))
+
+
+def grouped_budget_select(
+    ds: Dataset,
+    key: str,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    tiebreak: str,
+    cum_col: str = "cum_weight",
+    combine_shard_threshold: int = 200_000,
+) -> Dataset:
+    """Per-key greedy BUDGET selection (the token-budget curation
+    primitive of a training-data mixer): order each key's rows by
+    (``order_col`` desc, ``tiebreak`` asc) and keep the prefix whose
+    inclusive ``weight_col`` running sum stays ≤ ``budget``; the
+    inclusive sum is emitted as ``cum_col``. Weights must be ≥ 0, so
+    "running sum ≤ budget" is a contiguous prefix and the rule is
+    exactly a SQL window SUM — see the ``docs_token_budget`` oracle.
+
+    Scale shape (mirrors :func:`grouped_topk` — no whole-group
+    shuffle): each block keeps only rows whose BLOCK-LOCAL inclusive
+    running sum fits the budget. The global running sum of any
+    globally-selected row is ≥ its block-local sum (other blocks only
+    add better-ranked weight), so globally-selected ⊆ block-kept and
+    the prune is lossless. Candidates entering the combine are bounded
+    by budget-worth of rows per (block, key); past
+    ``combine_shard_threshold`` rows the combine shards by key hash
+    (all rows of a key co-locate, so per-shard prefix sums are exact)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _local_budget_select(
+            batch, key, order_col, weight_col, budget, tiebreak, cum_col=None
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return _local_budget_select(
+            batch, key, order_col, weight_col, budget, tiebreak, cum_col=cum_col
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if partials.count() <= combine_shard_threshold:
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
+    def add_shard(b: pa.Table) -> pa.Table:
+        from ocr_processor_ray.functions.hashing import stable_hash_array
+
+        kv = b[key].to_numpy(zero_copy_only=False)
+        shard = (stable_hash_array(kv) % 64).astype(np.int32)
+        return b.append_column("_kshard", pa.array(shard))
+
+    sharded = partials.map_batches(
+        add_shard, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sharded.groupby("_kshard").map_groups(
+        lambda g: combine(g.drop_columns(["_kshard"])), batch_format="pyarrow"
+    )
+
+
 def global_topk(
     ds: Dataset,
     order_col: str,

@@ -5473,3 +5473,103 @@ ORACLE_SQL["docs_tf_cosine_pairs"] = f"""
     JOIN norms nb ON nb.doc_id = id_b
     WHERE 100 * num * num >= {_TFCOS_TAU2_PCT} * na.nsq * nb.nsq
 """
+
+
+# ------------------------------------------------- token-budget curation
+
+_BUDGET_TOKENS = 2000  # per-language token budget (proper subset at every sf)
+
+
+def q_docs_token_budget(sf_dir: str):
+    """Token-budget curation (the data-mixing primitive: per language,
+    keep the best-quality documents until a token budget is exhausted).
+    Quality is an all-integer ppm score — stopword density minus
+    punctuation density — so the ordering is exact in both engines:
+    score_ppm = n_stop·10⁶ // max(n_words,1) − n_punct·10⁶ // max(n_chars,1)
+    (both terms non-negative, so C-truncation == floor in Arrow AND
+    DuckDB). Selection keeps each language's (score desc, doc_id asc)
+    prefix whose inclusive word-count running sum stays ≤ budget —
+    weights are ≥ 0, so the kept set is a true prefix and the rule is
+    exactly the oracle's window SUM. Text never leaves the read stage:
+    the selection runs over 4-column int metadata via
+    grouped_budget_select (block-local lossless prune → bounded
+    combine, no whole-group shuffle). Reference analog: the settings
+    projection + per-job quota accounting (config.py:22,
+    progress_tracker.py:98-114) generalized to corpus curation."""
+    from ocr_processor_ray.functions.agg import grouped_budget_select
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def meta(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_words = pc.cast(
+            pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+        )
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64()
+        )
+        n_stop = pc.cast(
+            pc.count_substring_regex(
+                pc.utf8_lower(text),
+                pattern=r"\b(?:the|of|and|to|in|is|that|for|it|was)\b",
+            ),
+            pa.int64(),
+        )
+        million = pa.scalar(1_000_000, pa.int64())
+        stop_ppm = pc.divide(
+            pc.multiply(n_stop, million), pc.max_element_wise(n_words, 1)
+        )
+        punct_ppm = pc.divide(
+            pc.multiply(n_punct, million), pc.max_element_wise(n_chars, 1)
+        )
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "doc_id": b["doc_id"],
+                "score_ppm": pc.subtract(stop_ppm, punct_ppm),
+                "n_words": n_words,
+            }
+        )
+
+    metadata = ds.map_batches(meta, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_budget_select(
+        metadata,
+        key="lang",
+        order_col="score_ppm",
+        weight_col="n_words",
+        budget=_BUDGET_TOKENS,
+        tiebreak="doc_id",
+        cum_col="cum_words",
+    )
+
+
+QUERIES["docs_token_budget"] = q_docs_token_budget
+
+
+ORACLE_SQL["docs_token_budget"] = f"""
+    WITH m AS (
+        SELECT lang, doc_id,
+               len(regexp_extract_all(text, '\\S+')) AS n_words,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               len(regexp_extract_all(lower(text),
+                   '\\b(the|of|and|to|in|is|that|for|it|was)\\b')) AS n_stop
+        FROM documents
+    ), s AS (
+        SELECT lang, doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST((n_stop * 1000000) // greatest(n_words, 1)
+                    - (n_punct * 1000000) // greatest(n_chars, 1)
+                    AS BIGINT) AS score_ppm
+        FROM m
+    ), c AS (
+        SELECT lang, doc_id, score_ppm, n_words,
+               CAST(SUM(n_words) OVER (
+                   PARTITION BY lang
+                   ORDER BY score_ppm DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_words
+        FROM s
+    )
+    SELECT lang, doc_id, score_ppm, n_words, cum_words
+    FROM c WHERE cum_words <= {_BUDGET_TOKENS}
+"""

@@ -1016,6 +1016,66 @@ class TestSketch:
         canon = lambda d: d.sort_values(list(d.columns), ignore_index=True)
         assert canon(single).equals(canon(sharded))
 
+    def test_grouped_budget_select_matches_sequential(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.agg import grouped_budget_select
+
+        rng = np.random.RandomState(7)
+        n = 600
+        t = pa.table(
+            {
+                "key": pa.array([f"k{i % 5}" for i in range(n)]),
+                "score": pa.array(rng.randint(0, 40, n), pa.int64()),
+                "w": pa.array(rng.randint(0, 30, n), pa.int64()),
+                "id": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+        # sequential reference: per key, (score desc, id asc) prefix with
+        # inclusive running w ≤ budget — ties and zero weights included
+        df = t.to_pandas().sort_values(
+            ["key", "score", "id"], ascending=[True, False, True]
+        )
+        df["cum"] = df.groupby("key")["w"].cumsum()
+        want = df[df["cum"] <= 100].reset_index(drop=True)
+
+        for shard_threshold, blocks in ((200_000, 8), (1, 16)):
+            got = (
+                grouped_budget_select(
+                    rd.from_arrow(t).repartition(blocks),
+                    key="key",
+                    order_col="score",
+                    weight_col="w",
+                    budget=100,
+                    tiebreak="id",
+                    cum_col="cum",
+                    combine_shard_threshold=shard_threshold,
+                )
+                .to_pandas()
+                .sort_values(["key", "score", "id"], ascending=[True, False, True])
+                .reset_index(drop=True)
+            )
+            assert list(got["id"]) == list(want["id"])
+            assert list(got["cum"]) == list(want["cum"])
+
+    def test_grouped_budget_select_rejects_negative_weights(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.agg import grouped_budget_select
+
+        t = pa.table(
+            {
+                "key": pa.array(["a", "a"]),
+                "score": pa.array([1, 2], pa.int64()),
+                "w": pa.array([5, -1], pa.int64()),
+                "id": pa.array([0, 1], pa.int64()),
+            }
+        )
+        with pytest.raises(Exception, match="negative weight"):
+            grouped_budget_select(
+                rd.from_arrow(t), "key", "score", "w", 10, "id"
+            ).to_pandas()
+
     def test_global_topk_prereduce_matches_direct(self):
         import ray.data as rd
 
