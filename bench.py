@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "docs_source_cap",
     "docs_token_budget",
+    "ann_topk_filtered",
     "doc_quality_gate",
     "docs_length_gate",
     "customers_with_urgent_orders",

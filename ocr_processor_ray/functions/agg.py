@@ -342,8 +342,17 @@ def global_topk(
             )
             .materialize()
         )
-    t = pa.concat_tables(
-        [tb for tb in ray.get(cands.to_arrow_refs()) if tb.num_rows],
-        promote_options="default",
-    )
+    tabs = [tb for tb in ray.get(cands.to_arrow_refs()) if tb.num_rows]
+    if not tabs:
+        # an entirely-empty input (e.g. a selective filter upstream
+        # matched nothing) has no non-empty candidate block to concat —
+        # return an empty result with whatever schema the blocks carry
+        all_tabs = ray.get(cands.to_arrow_refs())
+        if all_tabs:
+            return all_tabs[0].slice(0, 0)
+        s = cands.schema()
+        if s is not None and s.names:
+            return pa.schema(list(zip(s.names, s.types))).empty_table()
+        return pa.table({})
+    t = pa.concat_tables(tabs, promote_options="default")
     return t.sort_by(order).slice(0, k)

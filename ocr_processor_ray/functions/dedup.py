@@ -425,74 +425,24 @@ _BROADCAST_ID_LIMIT = 20_000_000
 
 def _distinct_pair_ids(pairs: Dataset, col: str) -> np.ndarray | None:
     """Distinct candidate ids of one pair side as a SORTED int64 array,
-    or None when the set exceeds the broadcast budget.
+    or None when the set exceeds the broadcast budget — the shared
+    incremental driver fold (functions/relational.distinct_ids_bounded)
+    with this module's id budget."""
+    from ocr_processor_ray.functions.relational import distinct_ids_bounded
 
-    Streams only the single int64 column to the driver (16 B per pair,
-    already bounded upstream by per-bucket candidate truncation) — never
-    text. Sorted so membership tests are a vectorized searchsorted."""
-    # merge per-batch uniques INCREMENTALLY: buffering every batch's
-    # uniques before one global np.unique would hold up to 8× the budget
-    # (plus the concatenate copy) on the driver before deciding to bail —
-    # a multi-GB spike exactly at the scale the budget protects against.
-    # The running merged array is capped at _BROADCAST_ID_LIMIT, so peak
-    # driver memory is limit + one pending buffer, and the over-budget
-    # exit fires on the first merge that exceeds it.
-    merged = np.empty(0, np.int64)
-    pending: list[np.ndarray] = []
-    pending_n = 0
-
-    def fold() -> "np.ndarray | None":
-        out = np.unique(np.concatenate([merged, *pending]))
-        return None if out.size > _BROADCAST_ID_LIMIT else out
-
-    for b in pairs.select_columns([col]).iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        u = pc.unique(b[col]).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        pending.append(u)
-        pending_n += u.size
-        if pending_n >= _BROADCAST_ID_LIMIT:
-            m = fold()
-            if m is None:
-                logger.warning(
-                    "pair-verify: candidate %s set exceeds the broadcast "
-                    "budget (%d ids); falling back to full-docs bucketed "
-                    "attach",
-                    col,
-                    _BROADCAST_ID_LIMIT,
-                )
-                return None
-            merged, pending, pending_n = m, [], 0
-    ids = fold() if pending else merged
-    if ids is None:
-        logger.warning(
-            "pair-verify: distinct %s candidates exceed the broadcast "
-            "budget (%d); falling back to full-docs bucketed attach",
-            col,
-            _BROADCAST_ID_LIMIT,
-        )
-        return None
-    return ids
+    return distinct_ids_bounded(
+        pairs, col, _BROADCAST_ID_LIMIT, what="pair-verify candidate"
+    )
 
 
 def _restrict_to_ids(docs: Dataset, id_col: str, ids: "np.ndarray | None") -> Dataset:
     """Filter ``docs`` to rows whose ``id_col`` is in the broadcast sorted
-    id array — a local, shuffle-free semi-join applied before the text
-    exchange. ``ids=None`` (over budget) passes docs through unchanged."""
-    if ids is None:
-        return docs
-    ids_ref = ray.put(ids)
+    id array — the shared map-side semi-join
+    (functions/relational.restrict_to_ids). ``ids=None`` (over budget)
+    passes docs through unchanged."""
+    from ocr_processor_ray.functions.relational import restrict_to_ids
 
-    def fn(t: pa.Table) -> pa.Table:
-        arr = ray.get(ids_ref)  # local zero-copy read after first fetch
-        keys = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-        if arr.size == 0:
-            return t.slice(0, 0)
-        pos = np.searchsorted(arr, keys)
-        pos[pos == arr.size] = 0  # out-of-range probes can't match anyway
-        return t.filter(pa.array(arr[pos] == keys))
-
-    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return restrict_to_ids(docs, id_col, ids)
 
 
 # candidate payload broadcast budget for the verify fast path: the

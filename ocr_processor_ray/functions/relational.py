@@ -15,12 +15,16 @@ tables, with scale-honest shapes:
 
 from __future__ import annotations
 
+import logging
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+logger = logging.getLogger(__name__)
 
 
 def broadcast_join(
@@ -439,3 +443,79 @@ def asof_join(
         .map_groups(merge_bucket, batch_format="pandas")
         .map_batches(_restore_schema(expected), batch_format="pyarrow")
     )
+
+
+def distinct_ids_bounded(
+    ds: Dataset, col: str, limit: int, what: str = "id"
+) -> "np.ndarray | None":
+    """Distinct values of one int64 column as a SORTED array, or None
+    when the set exceeds ``limit`` (the broadcast budget).
+
+    Streams only the single int64 column to the driver (never payloads)
+    and merges per-batch uniques INCREMENTALLY: buffering every batch's
+    uniques before one global np.unique would hold up to 8× the budget
+    (plus the concatenate copy) on the driver before deciding to bail —
+    a multi-GB spike exactly at the scale the budget protects against.
+    The running merged array is capped at ``limit``, so peak driver
+    memory is limit + one pending buffer, and the over-budget exit fires
+    on the first merge that exceeds it. ``what`` names the id family in
+    the fallback warning."""
+    merged = np.empty(0, np.int64)
+    pending: list[np.ndarray] = []
+    pending_n = 0
+
+    def fold() -> "np.ndarray | None":
+        out = np.unique(np.concatenate([merged, *pending]))
+        return None if out.size > limit else out
+
+    for b in ds.select_columns([col]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        u = pc.unique(b[col]).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        pending.append(u)
+        pending_n += u.size
+        if pending_n >= limit:
+            m = fold()
+            if m is None:
+                logger.warning(
+                    "distinct %s %s set exceeds the broadcast budget "
+                    "(%d ids); falling back to the bucketed path",
+                    what,
+                    col,
+                    limit,
+                )
+                return None
+            merged, pending, pending_n = m, [], 0
+    ids = fold() if pending else merged
+    if ids is None:
+        logger.warning(
+            "distinct %s %s set exceeds the broadcast budget (%d ids); "
+            "falling back to the bucketed path",
+            what,
+            col,
+            limit,
+        )
+    return ids
+
+
+def restrict_to_ids(
+    ds: Dataset, id_col: str, ids: "np.ndarray | None"
+) -> Dataset:
+    """Filter ``ds`` to rows whose ``id_col`` is in the broadcast sorted
+    id array — a local, shuffle-free semi-join applied map-side (the
+    payload columns never move). ``ids=None`` (over budget) passes the
+    dataset through unchanged so callers can chain a bucketed fallback."""
+    if ids is None:
+        return ds
+    ids_ref = ray.put(ids)
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = ray.get(ids_ref)  # local zero-copy read after first fetch
+        keys = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        if arr.size == 0:
+            return t.slice(0, 0)
+        pos = np.searchsorted(arr, keys)
+        pos[pos == arr.size] = 0  # out-of-range probes can't match anyway
+        return t.filter(pa.array(arr[pos] == keys))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

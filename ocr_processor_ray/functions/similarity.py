@@ -88,10 +88,71 @@ def brute_force_topk(
     from ocr_processor_ray.functions.agg import global_topk
 
     t = global_topk(cands, "sim", k, tiebreak=id_col, descending=True)
+    if "sim" not in t.column_names:
+        # schema-less empty merge (every block filtered away upstream —
+        # e.g. filtered_topk with an allow set matching nothing)
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
     return t.set_column(
         t.schema.get_field_index("sim"),
         "sim",
         pa.array(np.round(t["sim"].to_numpy(), round_to)),
+    )
+
+
+# filtered-ANN id broadcast budget: a sorted int64 id set up to this
+# size rides ray.put once (≤ ~160 MB object, cached per node); past it
+# the restriction becomes a bucketed semi-join (both sides move once).
+_FILTER_ID_LIMIT = 20_000_000
+
+
+def filtered_topk(
+    ds: Dataset,
+    allow_ids: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> pa.Table:
+    """Predicate-FILTERED exact ANN (the "filtered vector search" shape:
+    metadata predicate from another table restricts the candidate set
+    BEFORE any similarity math): cosine top-k of ``query`` over only the
+    rows whose ``id_col`` appears in ``allow_ids`` (a Dataset with one
+    int64 column named ``id_col``, typically the output of a filter over
+    a metadata table).
+
+    Scale shape — the restriction happens before the matmul either way:
+    the allowed-id set folds to the driver incrementally
+    (relational.distinct_ids_bounded); within the broadcast budget it
+    rides ``ray.put`` once and the VECTOR side filters map-side (vectors
+    never shuffle); past the budget a bucketed semi-join moves each side
+    exactly once. Either way the matmul only ever sees allowed rows, so
+    the filter is a pushdown, not a post-filter over a full top-k (a
+    post-filter under-fills k when the predicate is selective)."""
+    from ocr_processor_ray.functions.relational import (
+        bucketed_join,
+        distinct_ids_bounded,
+        restrict_to_ids,
+    )
+
+    ids = distinct_ids_bounded(
+        allow_ids, id_col, _FILTER_ID_LIMIT, what="filtered-ANN allow"
+    )
+    if ids is not None:
+        restricted = restrict_to_ids(ds, id_col, ids)
+    else:
+        restricted = bucketed_join(
+            ds,
+            allow_ids,
+            on=id_col,
+            how="semi",
+            l_schema=None,
+            r_schema={id_col: pa.int64()},
+        )
+    return brute_force_topk(
+        restricted, query, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
     )
 
 

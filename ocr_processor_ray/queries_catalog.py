@@ -5573,3 +5573,62 @@ ORACLE_SQL["docs_token_budget"] = f"""
     SELECT lang, doc_id, score_ppm, n_words, cum_words
     FROM c WHERE cum_words <= {_BUDGET_TOKENS}
 """
+
+
+# --------------------------------------------------------- filtered ANN
+
+_FANN_MIN_WORDS = 30
+
+
+def q_ann_topk_filtered(sf_dir: str):
+    """Predicate-FILTERED exact ANN: top-10 cosine neighbors of vec_id=0
+    among only the vectors whose JOINED document row (doc_id = vec_id)
+    satisfies a metadata predicate (lang='en' AND n_words ≥ 30) — the
+    "filtered vector search" shape every retrieval stack needs. The
+    allowed-id set is computed from the documents table and pushed down
+    BEFORE any similarity math (broadcast map-side semi-join within
+    budget, bucketed semi-join past it — functions/similarity.
+    filtered_topk), so the matmul never sees disallowed rows and k is
+    never under-filled by post-filtering. Compared columns are integers
+    only (rank, vec_id) — same raw-double-gap determinism argument as
+    ``ann_topk``."""
+    from ocr_processor_ray.functions.similarity import filtered_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def allow(b: pa.Table) -> pa.Table:
+        n_words = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=r"\S+"), pa.int64()
+        )
+        keep = pc.and_(
+            pc.equal(b["lang"], "en"),
+            pc.greater_equal(n_words, pa.scalar(_FANN_MIN_WORDS, pa.int64())),
+        )
+        return pa.table({"vec_id": b.filter(keep)["doc_id"]})
+
+    allow_ids = docs.map_batches(allow, batch_format="pyarrow", zero_copy_batch=True)
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t = filtered_topk(vecs, allow_ids, _query_vec(sf_dir), k=10, round_to=4)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+            "vec_id": t["vec_id"],
+        }
+    )
+
+
+QUERIES["ann_topk_filtered"] = q_ann_topk_filtered
+
+
+ORACLE_SQL["ann_topk_filtered"] = f"""
+    SELECT CAST(row_number() OVER (
+               ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                        e.vec_id ASC) AS BIGINT) AS rank,
+           e.vec_id
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE d.lang = 'en'
+      AND len(regexp_extract_all(d.text, '\\S+')) >= {_FANN_MIN_WORDS}
+    ORDER BY rank LIMIT 10
+"""

@@ -1058,6 +1058,58 @@ class TestSketch:
             assert list(got["id"]) == list(want["id"])
             assert list(got["cum"]) == list(want["cum"])
 
+    def test_filtered_topk_broadcast_and_join_paths_agree(self, monkeypatch):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions import similarity
+
+        rng = np.random.RandomState(11)
+        n, dim = 300, 16
+        vecs = rng.randn(n, dim).astype(np.float32)
+        allowed = np.arange(0, n, 3, dtype=np.int64)  # every 3rd id
+        q = vecs[5]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                }
+            )
+        ).repartition(6)
+        ids_ds = rd.from_arrow(pa.table({"vec_id": pa.array(allowed)}))
+
+        # sequential reference over the allowed subset only
+        norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = norm[allowed] @ (q / np.linalg.norm(q))
+        order = np.lexsort((allowed, -sims))[:10]
+        want = list(allowed[order])
+
+        got_bcast = similarity.filtered_topk(ds, ids_ds, q, k=10)
+        assert list(got_bcast["vec_id"].to_pylist()) == want
+
+        monkeypatch.setattr(similarity, "_FILTER_ID_LIMIT", 1)  # force join path
+        got_join = similarity.filtered_topk(ds, ids_ds, q, k=10)
+        assert list(got_join["vec_id"].to_pylist()) == want
+
+    def test_filtered_topk_empty_allow_set(self):
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.similarity import filtered_topk
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(20, 8).astype(np.float32)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                }
+            )
+        )
+        ids_ds = rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64())}))
+        out = filtered_topk(ds, ids_ds, vecs[0], k=5)
+        assert out.num_rows == 0
+
     def test_grouped_budget_select_rejects_negative_weights(self):
         import ray.data as rd
 
