@@ -200,6 +200,9 @@ def grouped_topk(
     )
 
 
+_TOMB = "_budget_tomb"
+
+
 def _local_budget_select(
     batch: pa.Table,
     key: str,
@@ -208,14 +211,31 @@ def _local_budget_select(
     budget: int,
     tiebreak: str,
     cum_col: str | None,
+    emit_tombstones: bool = False,
 ) -> pa.Table:
     """Keep each key's greedy budget prefix of ONE batch: rows sorted by
     (order desc, tiebreak asc) whose inclusive per-key running
     ``weight_col`` sum is ≤ ``budget``. Weights are non-negative, so the
     running sum is monotone and the kept set is a true prefix. When
     ``cum_col`` is set the inclusive running sum is emitted (combine
-    stage only — partial cums are block-local and meaningless)."""
+    stage only — partial cums are block-local and meaningless).
+
+    ``emit_tombstones`` (partial stage): per key that dropped ≥1 row,
+    also emit the FIRST dropped row with its weight overridden to
+    ``budget + 1`` and ``_TOMB=1``. The semantics require a candidate's
+    running sum over ALL better rows (selected or not) — a combine over
+    kept rows alone under-counts and can admit false positives (proof
+    sketch: if any row better than r was dropped in block B, that row's
+    block-local cum in B already exceeded the budget, and every row in
+    that cum is also better than r, so r's TRUE cum > budget). The
+    tombstone rides at the dropped row's exact sort position and its
+    budget+1 weight poisons the whole per-key suffix in the combine,
+    which is exactly the required exclusion. Kept rows are better than
+    every tombstone of their key, so their emitted cums never include
+    tombstone weight."""
     if batch.num_rows == 0:
+        if emit_tombstones and _TOMB not in batch.column_names:
+            batch = batch.append_column(_TOMB, pa.array([], pa.int8()))
         if cum_col is not None:
             batch = batch.append_column(cum_col, pa.array([], pa.int64()))
         return batch
@@ -237,9 +257,30 @@ def _local_budget_select(
     # each key's first row
     base = np.repeat(cum[starts] - w[starts], sizes)
     cum = cum - base
+    # incoming tombstones (combine stage) carry weight budget+1 already,
+    # so the cum <= budget filter removes them and everything after them
+    keep = cum <= budget
     if cum_col is not None:
         batch = batch.append_column(cum_col, pa.array(cum, pa.int64()))
-    return batch.filter(pa.array(cum <= budget))
+    kept = batch.filter(pa.array(keep))
+    if not emit_tombstones:
+        return kept
+    # first dropped row per key: prefix property puts it right after the
+    # kept prefix — index starts[g] + kept_count[g] when any row dropped
+    kept_per_key = np.add.reduceat(keep.astype(np.int64), starts)
+    has_drop = kept_per_key < sizes
+    tomb_idx = (starts + kept_per_key)[has_drop]
+    kept = kept.append_column(_TOMB, pa.array(np.zeros(kept.num_rows, np.int8)))
+    if tomb_idx.size == 0:
+        return kept
+    tombs = batch.take(pa.array(tomb_idx))
+    tombs = tombs.set_column(
+        tombs.schema.get_field_index(weight_col),
+        weight_col,
+        pa.array(np.full(tombs.num_rows, budget + 1, np.int64)),
+    )
+    tombs = tombs.append_column(_TOMB, pa.array(np.ones(tombs.num_rows, np.int8)))
+    return pa.concat_tables([kept, tombs])
 
 
 def grouped_budget_select(
@@ -262,23 +303,33 @@ def grouped_budget_select(
 
     Scale shape (mirrors :func:`grouped_topk` — no whole-group
     shuffle): each block keeps only rows whose BLOCK-LOCAL inclusive
-    running sum fits the budget. The global running sum of any
-    globally-selected row is ≥ its block-local sum (other blocks only
-    add better-ranked weight), so globally-selected ⊆ block-kept and
-    the prune is lossless. Candidates entering the combine are bounded
-    by budget-worth of rows per (block, key); past
+    running sum fits the budget (globally-selected ⊆ block-kept: the
+    global running sum of a selected row is ≥ its block-local sum), PLUS
+    one tombstone per (block, key) that dropped rows — the first dropped
+    row re-weighted to budget+1, so the combine's prefix rule excludes
+    everything at-or-after any dropped row's sort position (a kept row
+    with a better row dropped anywhere provably exceeds the budget —
+    see ``_local_budget_select``; a combine over kept rows alone would
+    under-count those dropped weights and admit false positives, found
+    by hypothesis fuzz). Candidates entering the combine are bounded by
+    budget-worth of rows + 1 tombstone per (block, key); past
     ``combine_shard_threshold`` rows the combine shards by key hash
     (all rows of a key co-locate, so per-shard prefix sums are exact)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         return _local_budget_select(
-            batch, key, order_col, weight_col, budget, tiebreak, cum_col=None
+            batch, key, order_col, weight_col, budget, tiebreak,
+            cum_col=None, emit_tombstones=True,
         )
 
     def combine(batch: pa.Table) -> pa.Table:
-        return _local_budget_select(
+        out = _local_budget_select(
             batch, key, order_col, weight_col, budget, tiebreak, cum_col=cum_col
         )
+        # tombstones carry weight budget+1, so the cum filter removed
+        # them (and their poisoned suffixes) — only the marker column
+        # itself remains to drop
+        return out.drop_columns([_TOMB])
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True

@@ -1110,6 +1110,42 @@ class TestSketch:
         out = filtered_topk(ds, ids_ds, vecs[0], k=5)
         assert out.num_rows == 0
 
+    def test_grouped_budget_select_cross_block_dropped_weight_counts(self):
+        """Planted false-positive pattern: block A keeps (w=6) and drops
+        (w=6); block B's w=3 row has TRUE running sum 15 > budget 10 and
+        must NOT be selected even though the kept candidates alone sum to
+        9 — the dropped row's weight must still count (tombstones)."""
+        import ray.data as rd
+
+        from ocr_processor_ray.functions.agg import grouped_budget_select
+
+        blk_a = pa.table(
+            {
+                "key": pa.array(["k", "k"]),
+                "score": pa.array([9, 8], pa.int64()),
+                "w": pa.array([6, 6], pa.int64()),
+                "id": pa.array([0, 1], pa.int64()),
+            }
+        )
+        blk_b = pa.table(
+            {
+                "key": pa.array(["k"]),
+                "score": pa.array([7], pa.int64()),
+                "w": pa.array([3], pa.int64()),
+                "id": pa.array([2], pa.int64()),
+            }
+        )
+        out = grouped_budget_select(
+            rd.from_arrow([blk_a, blk_b]),
+            key="key",
+            order_col="score",
+            weight_col="w",
+            budget=10,
+            tiebreak="id",
+            cum_col="cum",
+        ).to_pandas()
+        assert list(out["id"]) == [0] and list(out["cum"]) == [6]
+
     def test_grouped_budget_select_rejects_negative_weights(self):
         import ray.data as rd
 

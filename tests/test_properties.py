@@ -208,3 +208,80 @@ def test_scrub_pii_matches_python_re_reference(frags):
     got = scrub_pii(pa.table({"text": [text]}))
     assert got["text"][0].as_py() == expected, text
     assert got["n_pii"][0].as_py() == n, text
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=-5, max_value=8),  # score (ties common)
+            st.integers(min_value=0, max_value=12),  # weight (zeros common)
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=40),          # budget
+    st.integers(min_value=1, max_value=5),           # split point count
+)
+@settings(max_examples=200, deadline=None)
+def test_local_budget_select_prefix_rule_matches_pandas(rows, budget, n_splits):
+    """_local_budget_select == the SQL window-SUM prefix rule on any ONE
+    batch, and splitting the batch arbitrarily then re-selecting over the
+    concatenated survivors (the partial→combine composition) yields the
+    same final set — the lossless-prune invariant grouped_budget_select
+    relies on."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_processor_ray.functions.agg import _local_budget_select
+
+    t = pa.table(
+        {
+            "key": pa.array([f"k{k}" for k, _, _ in rows]),
+            "score": pa.array([s for _, s, _ in rows], pa.int64()),
+            "w": pa.array([w for _, _, w in rows], pa.int64()),
+            "id": pa.array(list(range(len(rows))), pa.int64()),
+        }
+    )
+    df = t.to_pandas().sort_values(
+        ["key", "score", "id"], ascending=[True, False, True]
+    )
+    df["cum"] = df.groupby("key")["w"].cumsum()
+    want = df[df["cum"] <= budget]
+
+    got = _local_budget_select(t, "key", "score", "w", budget, "id", cum_col="cum")
+    assert sorted(got["id"].to_pylist()) == sorted(want["id"])
+    got_cum = dict(zip(got["id"].to_pylist(), got["cum"].to_pylist()))
+    assert got_cum == dict(zip(want["id"], want["cum"]))
+
+    # partial→combine composition exactly as grouped_budget_select runs
+    # it: split rows arbitrarily, prune each split WITH tombstones, then
+    # combine the merged candidates — must equal the one-batch answer
+    # (the zero-weight/dropped-better-row false positives the tombstones
+    # exist to kill were found by this very property)
+    if len(rows):
+        from ocr_processor_ray.functions.agg import _TOMB
+
+        bounds = sorted(
+            {0, len(rows)}
+            | {(i * 7919) % len(rows) for i in range(1, n_splits)}
+        )
+        parts = [
+            _local_budget_select(
+                t.slice(a, b - a), "key", "score", "w", budget, "id",
+                cum_col=None, emit_tombstones=True,
+            )
+            for a, b in zip(bounds[:-1], bounds[1:])
+            if b > a
+        ]
+        merged = pa.concat_tables([p for p in parts if p.num_rows])
+        if merged.num_rows == 0:
+            assert len(want) == 0
+        else:
+            final = _local_budget_select(
+                merged, "key", "score", "w", budget, "id", cum_col="cum"
+            ).drop_columns([_TOMB])
+            assert sorted(final["id"].to_pylist()) == sorted(want["id"])
+            final_cum = dict(zip(final["id"].to_pylist(), final["cum"].to_pylist()))
+            assert final_cum == dict(zip(want["id"], want["cum"]))
